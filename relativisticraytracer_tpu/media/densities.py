@@ -1,0 +1,133 @@
+"""Procedural volumetric media (reference: include/densities.h).
+
+Two fields sampled during the march:
+  * accretion disk (densities.h:20-62): cylindrical envelope, differential
+    Keplerian rotation, 5-octave fbm, high-contrast streak shaping;
+  * dust clouds (densities.h:69-132): smoothstep envelopes, differential
+    shear, nested two-stage domain warping, 5-octave inline ridge noise,
+    time-drifted detail fbm.
+
+Branch-free transcriptions: every early `return 0` becomes a `jnp.where`
+on the SAME predicate, evaluated after computing the full expression with
+division-safe radii (masked lanes never make Inf/NaN).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from relativisticraytracer_tpu.config import SceneConfig
+from relativisticraytracer_tpu.core.noise import fbm, noise3D
+from relativisticraytracer_tpu.core.vecmath import Vec3, smoothstep
+
+_R_EPS = 1e-6
+
+
+def disk_temperature(scene: SceneConfig, r: jnp.ndarray) -> jnp.ndarray:
+    """Shakura-Sunyaev T(r) = T_ref * (r/ISCO)^-0.75, zero inside the ISCO
+    (reference: densities.h:12-15)."""
+    safe_r = jnp.maximum(r, _R_EPS)
+    t = scene.disk_temp_ref * (safe_r / scene.isco_radius) ** -0.75
+    return jnp.where(r < scene.isco_radius, jnp.zeros_like(r), t)
+
+
+def accretion_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
+    """Accretion-disk gas density at BH-relative position p
+    (reference: densities.h:20-62)."""
+    isco = scene.isco_radius
+    disk_out = scene.disk_out_m
+
+    r = jnp.sqrt(p.x * p.x + p.z * p.z)
+    in_annulus = jnp.logical_and(r >= isco, r <= disk_out)
+    safe_r = jnp.maximum(r, _R_EPS)
+
+    # 1. base envelope (densities.h:25-35)
+    edge_start = disk_out * 0.85
+    ef = 1.0 - (r - edge_start) / (disk_out - edge_start)
+    edge_falloff = jnp.where(r > edge_start, ef * ef, jnp.ones_like(r))
+
+    local_h = scene.disk_h_m * jnp.sqrt(isco / safe_r)
+    vertical_density = jnp.exp(-(p.y * p.y) / (2.0 * local_h * local_h + 1e-7))
+    radial_density = (isco / safe_r) ** 0.4
+    base_envelope = vertical_density * radial_density * edge_falloff
+
+    # 2. differential rotation + multi-octave clouds (densities.h:38-54)
+    phi = jnp.arctan2(p.z, p.x)
+    omega = 3.5 * (isco / safe_r) ** 1.5
+    angle_rotated = phi - time * omega
+
+    rot = Vec3(r * jnp.cos(angle_rotated), p.y * 4.0, r * jnp.sin(angle_rotated))
+    evolution = time * 0.35
+    noise_coords = Vec3(rot.x * 0.45, rot.y * 0.45 + evolution, rot.z * 0.45)
+    n = fbm(noise_coords, 5)
+
+    # high-contrast streaks (densities.h:57-59)
+    cloud = jnp.maximum(0.0, n - 0.32)
+    cloud = (cloud * 2.8) ** 1.6
+    cloud = jnp.minimum(6.0, cloud)
+
+    out = base_envelope * (0.02 + 5.0 * cloud)
+    return jnp.where(in_annulus, out, jnp.zeros_like(r))
+
+
+def dust_cloud_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
+    """Large-scale dust-cloud density at BH-relative position p
+    (reference: densities.h:69-132)."""
+    isco = scene.isco_radius
+    disk_out = scene.disk_out_m  # NB: the reference gates clouds on DISK_OUT_M too
+
+    r = jnp.sqrt(p.x * p.x + p.z * p.z)
+    in_annulus = jnp.logical_and(r >= isco, r <= disk_out)
+    safe_r = jnp.maximum(r, _R_EPS)
+
+    # 1. base envelope (densities.h:74-83); note smoothstep edges are reversed
+    edge_falloff = smoothstep(disk_out, disk_out * 0.8, r)
+    inner_taper = smoothstep(isco, isco + 5.0, r)
+    local_h = scene.cloud_h_m * 0.5 * (isco / safe_r) ** 0.2
+    vertical_profile = jnp.exp(-(p.y * p.y) / (2.0 * local_h * local_h + 1e-7))
+    base = vertical_profile * edge_falloff * inner_taper
+    alive = base >= 0.001  # early-out in the reference (densities.h:85)
+
+    # 2. differential shearing (densities.h:88-90)
+    phi = jnp.arctan2(p.z, p.x)
+    omega = (isco / safe_r) ** 1.5
+    angle_rot = phi - time * omega
+
+    # 3. fluid domain warping (densities.h:93-108)
+    coords = Vec3(r * 0.8, p.y * 15.0, angle_rot * 10.0)
+    c15 = Vec3(coords.x * 0.15, coords.y * 0.15, coords.z * 0.15)
+    w1 = Vec3(
+        fbm(c15, 2),
+        fbm(Vec3(c15.x + 1.0, c15.y + 2.0, c15.z + 3.0), 2),
+        fbm(Vec3(c15.x + 4.0, c15.y + 5.0, c15.z + 6.0), 2),
+    )
+    w2c = Vec3(coords.x + w1.x * 3.0, coords.y + w1.y * 3.0, coords.z + w1.z * 3.0)
+    w2c4 = Vec3(w2c.x * 0.4, w2c.y * 0.4, w2c.z * 0.4)
+    w2 = Vec3(
+        fbm(w2c4, 2),
+        fbm(Vec3(w2c4.x + 2.0, w2c4.y + 1.0, w2c4.z + 0.0), 2),
+        fbm(Vec3(w2c4.x + 0.0, w2c4.y + 3.0, w2c4.z + 1.0), 2),
+    )
+    fc = Vec3(coords.x + w2.x * 1.5, coords.y + w2.y * 1.5, coords.z + w2.z * 1.5)
+
+    # 4. multi-octave wisps: inline ridge noise, lacunarity 2.1
+    # (densities.h:111-120)
+    n = jnp.zeros_like(r)
+    amp = 1.0
+    freq = 1.0
+    for _ in range(5):
+        noise_val = noise3D(Vec3(fc.x * freq, fc.y * freq, fc.z * freq))
+        wisp = 1.0 - jnp.abs(noise_val * 2.0 - 1.0)
+        n = n + wisp * amp
+        amp *= 0.5
+        freq *= 2.1
+
+    # 5. contrast & transparency (densities.h:124-128)
+    strands = smoothstep(0.4, 0.8, n * 0.55)
+    strands = strands ** 4.0
+    detail = fbm(Vec3(fc.x * 4.0, fc.y * 4.0 + time * 0.5, fc.z * 4.0), 2)
+    strands = strands * (0.6 + 0.4 * detail)
+
+    out = base * strands * 12.0
+    zero = jnp.zeros_like(r)
+    return jnp.where(jnp.logical_and(in_annulus, alive), out, zero)

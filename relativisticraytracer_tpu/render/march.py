@@ -1,0 +1,263 @@
+"""The geodesic ray march — the hot loop of the whole framework.
+
+Re-designs the reference per-pixel CUDA march (src/raymarcher.cu:41-121)
+for TPU: CUDA thread divergence (per-thread `break` on horizon capture or
+escape) becomes lock-step masked iteration — every ray carries an `active`
+mask and all updates are `where`-selected. Step semantics match the
+reference exactly:
+
+  per step (raymarcher.cu:41-121):
+    1. r from the PRE-step position; horizon capture r < 1.01*Rs
+       -> transmittance = 0, ray done (raymarcher.cu:47-51);
+    2. adaptive step size from PRE-step zone flags: x0.1 near the BH
+       (r < 18), else x0.3 in the disk zone, else x0.5 in the cloud zone
+       (raymarcher.cu:54-62);
+    3. RK4 step updates position AND velocity (raymarcher.cu:64);
+    4. radiative transfer evaluated at the PRE-step position with the
+       POST-step velocity (raymarcher.cu:67-117) — emission/absorption
+       with front-to-back compositing;
+    5. escape when r > 250 moving outward (POST-step velocity,
+       raymarcher.cu:120).
+
+Loop strategies:
+  * "scan":  lax.scan over a fixed max_steps trip count;
+  * "while": lax.while_loop over chunks of scan steps, exiting as soon as
+    every ray is done — the TPU analog of early thread exit (whole-array
+    granularity; the Pallas kernel in ops/pallas_march.py refines this to
+    per-tile granularity).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from relativisticraytracer_tpu.config import SceneConfig
+from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
+from relativisticraytracer_tpu.media.densities import (
+    accretion_density,
+    disk_temperature,
+    dust_cloud_density,
+)
+from relativisticraytracer_tpu.physics.geodesics import redshift_factor
+from relativisticraytracer_tpu.physics.integrators import rk4_step
+
+
+class MarchState(NamedTuple):
+    p: Vec3                 # position (world)
+    v: Vec3                 # coordinate velocity (unit at launch)
+    intensity: Vec3         # accumulated RGB emission
+    transmittance: jnp.ndarray
+    hit_horizon: jnp.ndarray  # bool
+    active: jnp.ndarray       # bool
+
+
+def init_state(origin: Vec3, direction: Vec3) -> MarchState:
+    zeros = jnp.zeros_like(origin.x)
+    return MarchState(
+        p=origin,
+        v=direction,
+        intensity=Vec3(zeros, zeros, zeros),
+        transmittance=jnp.ones_like(zeros),
+        hit_horizon=jnp.zeros(zeros.shape, dtype=bool),
+        active=jnp.ones(zeros.shape, dtype=bool),
+    )
+
+
+def _select(mask, a, b):
+    return jnp.where(mask, a, b)
+
+
+def _select_vec(mask, a: Vec3, b: Vec3) -> Vec3:
+    return Vec3(_select(mask, a.x, b.x), _select(mask, a.y, b.y), _select(mask, a.z, b.z))
+
+
+def _media_contribution(scene: SceneConfig, rel: Vec3, r, v_new: Vec3,
+                        in_disk_zone, in_cloud_zone, time):
+    """Per-step emission/opacity (raymarcher.cu:67-105). `rel`/`r` are the
+    PRE-step position; `v_new` is the POST-step velocity."""
+    zero = jnp.zeros_like(r)
+    emit_r = zero
+    emit_g = zero
+    emit_b = zero
+    opacity = zero
+
+    # g is computed identically for both media (raymarcher.cu:77,92).
+    g = redshift_factor(scene, rel, v_new)
+
+    if scene.enable_disk:
+        d_disk = jnp.where(in_disk_zone, accretion_density(scene, rel, time), zero)
+        lit = d_disk > 0.001
+        temp = disk_temperature(scene, r)
+        t_ratio = temp / scene.disk_temp_ref
+        t_norm = t_ratio ** 0.5
+        bol_i = g ** 4.0 * t_norm * d_disk * scene.disk_luminosity
+        color_t = g * t_ratio ** 0.4 * 2.5
+        emit_r = emit_r + _select(lit, 1.0 * bol_i, zero)
+        emit_g = emit_g + _select(lit, jnp.minimum(0.25, 0.12 * color_t) * bol_i, zero)
+        emit_b = emit_b + _select(lit, jnp.maximum(0.0, 0.01 * (color_t - 2.0)) * bol_i, zero)
+        opacity = opacity + _select(lit, d_disk * scene.disk_opacity, zero)
+
+    if scene.enable_clouds:
+        d_cloud = jnp.where(in_cloud_zone, dust_cloud_density(scene, rel, time), zero)
+        lit = d_cloud > 0.001
+        lighting = 0.5 + 3.0 * (scene.isco_radius / jnp.maximum(r, scene.isco_radius)) ** 1.2
+        cloud_i = d_cloud * scene.cloud_luminosity * lighting
+        # redshift color grading (raymarcher.cu:96-102)
+        t = jnp.clip((g - 0.7) / (1.3 - 0.7), 0.0, 1.0)
+        shift = t * t * (3.0 - 2.0 * t)
+        emit_r = emit_r + _select(lit, 0.60 * cloud_i * (1.2 + shift * (0.8 - 1.2)), zero)
+        emit_g = emit_g + _select(lit, 0.65 * cloud_i * (0.8 + shift * (1.1 - 0.8)), zero)
+        emit_b = emit_b + _select(lit, 0.80 * cloud_i * (0.6 + shift * (1.4 - 0.6)), zero)
+        opacity = opacity + _select(lit, d_cloud * scene.cloud_opacity, zero)
+
+    return Vec3(emit_r, emit_g, emit_b), opacity
+
+
+def march_step(scene: SceneConfig, state: MarchState, time) -> MarchState:
+    """One reference march iteration (raymarcher.cu:41-121), fully masked."""
+    p, v, intensity, trans, hit, active = state
+    eh = scene.event_horizon
+    mp = scene.mass_pos
+
+    rel = Vec3(p.x - mp[0], p.y - mp[1], p.z - mp[2])
+    r = jnp.sqrt(rel.x * rel.x + rel.y * rel.y + rel.z * rel.z)
+
+    # 1. horizon capture (raymarcher.cu:47-51) — BEFORE stepping, so captured
+    # rays keep their pre-step velocity for the (black) background.
+    hit_now = jnp.logical_and(active, r < eh * 1.01)
+    hit = jnp.logical_or(hit, hit_now)
+    trans = _select(hit_now, jnp.zeros_like(trans), trans)
+    active = jnp.logical_and(active, jnp.logical_not(hit_now))
+
+    # 2. adaptive step size from PRE-step zone flags (raymarcher.cu:54-62)
+    near_bh = r < 18.0
+    abs_y = jnp.abs(rel.y)
+    in_disk_zone = jnp.logical_and(
+        abs_y < scene.disk_h_m * 5.0, r < scene.disk_out_m + 5.0
+    )
+    in_cloud_zone = jnp.logical_and(
+        abs_y < scene.cloud_h_m * 1.5, r < scene.cloud_out_m
+    )
+    h = scene.step_size_m * jnp.where(
+        near_bh, 0.1, jnp.where(in_disk_zone, 0.3, jnp.where(in_cloud_zone, 0.5, 1.0))
+    )
+
+    # 3. RK4 (raymarcher.cu:64) — frozen for finished rays
+    p_new, v_new = rk4_step(scene, p, v, h)
+    p = _select_vec(active, p_new, p)
+    v = _select_vec(active, v_new, v)
+
+    # 4. radiative transfer (raymarcher.cu:67-117): PRE-step position,
+    # POST-step velocity
+    if scene.enable_disk or scene.enable_clouds:
+        emit, opacity = _media_contribution(
+            scene, rel, r, v, in_disk_zone, in_cloud_zone, time
+        )
+        d_tau = opacity * h
+        step_trans = jnp.exp(-d_tau)
+        factor = (1.0 - step_trans) * trans
+        in_media = jnp.logical_and(
+            active, jnp.logical_or(in_disk_zone, in_cloud_zone)
+        )
+        intensity = Vec3(
+            intensity.x + _select(in_media, emit.x * factor, 0.0),
+            intensity.y + _select(in_media, emit.y * factor, 0.0),
+            intensity.z + _select(in_media, emit.z * factor, 0.0),
+        )
+        trans = _select(in_media, trans * step_trans, trans)
+
+    # 5. escape to infinity (raymarcher.cu:120) — POST-step velocity,
+    # PRE-step position
+    outward = rel.x * v.x + rel.y * v.y + rel.z * v.z > 0.0
+    escaped = jnp.logical_and(active, jnp.logical_and(r > scene.escape_radius, outward))
+    active = jnp.logical_and(active, jnp.logical_not(escaped))
+
+    return MarchState(p, v, intensity, trans, hit, active)
+
+
+def _largest_divisor_at_most(n: int, k: int) -> int:
+    k = max(1, min(k, n))
+    for c in range(k, 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
+def march(
+    scene: SceneConfig,
+    origin: Vec3,
+    direction: Vec3,
+    time,
+    max_steps: int | None = None,
+    loop: str = "while",
+    chunk: int = 64,
+) -> MarchState:
+    """March every ray to termination or the step cap.
+
+    loop="scan": fixed max_steps trip count (fastest to compile, runs every
+    step). loop="while": chunks of scan steps under a lax.while_loop that
+    stops as soon as no ray is active — frames whose slowest ray finishes
+    early skip the remaining chunks entirely.
+    """
+    max_steps = scene.max_steps if max_steps is None else max_steps
+    state = init_state(origin, direction)
+    time = jnp.asarray(time, dtype=jnp.float32)
+
+    def body(st, _):
+        return march_step(scene, st, time), None
+
+    if loop == "scan":
+        state, _ = jax.lax.scan(body, state, None, length=max_steps)
+        return state
+
+    if loop == "while":
+        chunk = _largest_divisor_at_most(max_steps, chunk)
+        n_chunks = max_steps // chunk
+
+        def chunk_body(carry):
+            i, st = carry
+            st, _ = jax.lax.scan(body, st, None, length=chunk)
+            return i + 1, st
+
+        def cond(carry):
+            i, st = carry
+            return jnp.logical_and(i < n_chunks, jnp.any(st.active))
+
+        _, state = jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), state))
+        return state
+
+    raise ValueError(f"unknown loop strategy {loop!r}")
+
+
+def render_hdr(
+    scene: SceneConfig,
+    origin: Vec3,
+    direction: Vec3,
+    time,
+    sky_fn,
+    max_steps: int | None = None,
+    loop: str = "while",
+    chunk: int = 64,
+) -> Tuple[Vec3, MarchState]:
+    """March + background compositing (raymarcher.cu:123-150).
+
+    `sky_fn(d: Vec3) -> Vec3` samples the background for the final ray
+    direction (black where the horizon was hit)."""
+    state = march(scene, origin, direction, time, max_steps, loop, chunk)
+    d = normalize(state.v)
+    bg = sky_fn(d)
+    zero = jnp.zeros_like(state.transmittance)
+    bg = Vec3(
+        _select(state.hit_horizon, zero, bg.x),
+        _select(state.hit_horizon, zero, bg.y),
+        _select(state.hit_horizon, zero, bg.z),
+    )
+    hdr = Vec3(
+        state.intensity.x + bg.x * state.transmittance,
+        state.intensity.y + bg.y * state.transmittance,
+        state.intensity.z + bg.z * state.transmittance,
+    )
+    return hdr, state

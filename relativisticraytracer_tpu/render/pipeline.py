@@ -1,0 +1,121 @@
+"""The frame program: one pure jitted function per (scene, resolution).
+
+Everything the reference spreads over main.cpp/GL/CUDA plumbing collapses
+into `render_frame`: ray gen -> masked geodesic march -> radiative transfer
+-> skybox composite -> post FX -> tone map -> uint8 pack. The host driver
+(runtime/app.py) only feeds (camera, effects, time) pytrees and streams
+uint8 frames out — the TPU analog of the reference's per-frame kernel
+launch + PBO interop (src/main.cpp:460-480).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relativisticraytracer_tpu.config import (
+    CameraEffects,
+    RenderSettings,
+    SceneConfig,
+)
+from relativisticraytracer_tpu.core.vecmath import Vec3
+from relativisticraytracer_tpu.render.camera import CameraState, generate_rays
+from relativisticraytracer_tpu.render.march import render_hdr
+from relativisticraytracer_tpu.render.postfx import (
+    apply_effects_and_tonemap,
+    pack_rgba8,
+)
+from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
+
+
+def render_frame(
+    scene: SceneConfig,
+    settings: RenderSettings,
+    camera: CameraState,
+    effects: CameraEffects,
+    time,
+    sky: Optional[Skybox],
+) -> jnp.ndarray:
+    """Render one frame -> uint8[height, width, 4], top-down row order.
+
+    `scene`/`settings` are static (hashable); `camera`, `effects`, `time`,
+    and `sky` are traced, so camera motion, effect toggles, the sim clock,
+    and even skybox swaps reuse the compiled program.
+    """
+    origin, direction, uv_x, uv_y = generate_rays(
+        settings.width, settings.height, camera, effects
+    )
+
+    if sky is not None:
+        def sky_fn(d: Vec3) -> Vec3:
+            return sample_sky(sky, d, effects)
+    else:
+        def sky_fn(d: Vec3) -> Vec3:
+            zero = jnp.zeros_like(d.x)
+            return Vec3(zero, zero, zero)
+
+    hdr, _ = render_hdr(
+        scene,
+        origin,
+        direction,
+        time,
+        sky_fn,
+        max_steps=settings.max_steps,
+        loop=settings.loop,
+        chunk=settings.chunk,
+    )
+    ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
+    return pack_rgba8(ldr)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_render(scene: SceneConfig, settings: RenderSettings):
+    if settings.loop == "pallas":
+        from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+
+        fn = functools.partial(render_frame_pallas, scene, settings)
+    else:
+        fn = functools.partial(render_frame, scene, settings)
+    return jax.jit(fn)
+
+
+class Renderer:
+    """Convenience host-side driver around the jitted frame program.
+
+    Caches one executable per (scene, settings); keeps the skybox resident
+    on device (the one-time upload, analog of main.cpp:247-248).
+    """
+
+    def __init__(
+        self,
+        scene: SceneConfig = SceneConfig(),
+        settings: RenderSettings = RenderSettings(),
+        skybox_rgba: Optional[np.ndarray] = None,
+    ):
+        self.scene = scene
+        self.settings = settings
+        self.sky: Optional[Skybox] = None
+        if skybox_rgba is not None:
+            from relativisticraytracer_tpu.render.skybox import skybox_from_array
+
+            self.sky = skybox_from_array(skybox_rgba)
+        self._fn = _compiled_render(scene, settings)
+
+    def render(
+        self,
+        camera: CameraState,
+        effects: Optional[CameraEffects] = None,
+        time: float = 0.0,
+    ) -> jnp.ndarray:
+        """Returns the device uint8[H, W, 4] frame (no host copy)."""
+        if effects is None:
+            effects = CameraEffects()
+        return self._fn(camera, effects, jnp.float32(time), self.sky)
+
+    def render_np(self, camera, effects=None, time: float = 0.0) -> np.ndarray:
+        """Render and fetch to host (the analog of the PBO readback)."""
+        return np.asarray(self.render(camera, effects, time))

@@ -1,0 +1,102 @@
+"""Post-processing chain (reference: include/camera_effects/post_processing.h
+and the kernel epilogue, src/raymarcher.cu:152-173).
+
+All effects are per-pixel closed forms (the reference "bloom" is a luma
+threshold self-add with NO blur — post_processing.h:27-31); the whole chain
+fuses into the frame program as pure VPU elementwise work.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from relativisticraytracer_tpu.core.vecmath import Vec3, smoothstep
+
+# Rec.709 luma weights (post_processing.h:28)
+_LUMA_R = 0.2126
+_LUMA_G = 0.7152
+_LUMA_B = 0.0722
+
+
+def grain_hash(px, py):
+    """Film-grain hash (reference: post_processing.h:9-11; unused by the
+    reference kernel, kept for API parity)."""
+    d = px * 12.9898 + py * 78.233
+    return jnp.fmod(jnp.sin(d) * 43758.5453, 1.0)
+
+
+def apply_lens_distortion(uv_x, uv_y, k) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Barrel distortion uv' = t*(1 + k*r^2) + 0.5, t = uv - 0.5
+    (reference: post_processing.h:19-24). Applied BEFORE ray generation
+    (raymarcher.cu:22-25)."""
+    tx = uv_x - 0.5
+    ty = uv_y - 0.5
+    r2 = tx * tx + ty * ty
+    f = 1.0 + r2 * k
+    return tx * f + 0.5, ty * f + 0.5
+
+
+def apply_vignette(color: Vec3, uv_x, uv_y, intensity) -> Vec3:
+    """Radial smoothstep(0.8 -> 0.2) multiplier on |uv - 0.5| * intensity
+    (reference: post_processing.h:13-17). Uses the distorted uv
+    (raymarcher.cu:160)."""
+    dx = uv_x - 0.5
+    dy = uv_y - 0.5
+    d = jnp.sqrt(dx * dx + dy * dy)
+    v = smoothstep(0.8, 0.2, d * intensity)
+    return Vec3(color.x * v, color.y * v, color.z * v)
+
+
+def bloom_contribution(color: Vec3, threshold) -> Vec3:
+    """Luma-threshold pass-through — the reference bloom has no blur
+    (post_processing.h:27-31)."""
+    brightness = color.x * _LUMA_R + color.y * _LUMA_G + color.z * _LUMA_B
+    keep = brightness > threshold
+    zero = jnp.zeros_like(brightness)
+    return Vec3(
+        jnp.where(keep, color.x, zero),
+        jnp.where(keep, color.y, zero),
+        jnp.where(keep, color.z, zero),
+    )
+
+
+def tonemap(color: Vec3, exposure) -> Vec3:
+    """Exponential tone map 1 - exp(-c * EXPOSURE) (raymarcher.cu:164-166)."""
+    return Vec3(
+        1.0 - jnp.exp(-color.x * exposure),
+        1.0 - jnp.exp(-color.y * exposure),
+        1.0 - jnp.exp(-color.z * exposure),
+    )
+
+
+def apply_effects_and_tonemap(hdr: Vec3, uv_x, uv_y, effects, exposure) -> Vec3:
+    """Full kernel epilogue (raymarcher.cu:152-166) with runtime 0/1 effect
+    flags (no retrace on toggle)."""
+    bloom = bloom_contribution(hdr, effects.bloom_threshold)
+    gain = effects.use_bloom * effects.bloom_intensity
+    hdr = Vec3(hdr.x + bloom.x * gain, hdr.y + bloom.y * gain, hdr.z + bloom.z * gain)
+
+    vig = apply_vignette(hdr, uv_x, uv_y, effects.vignette_intensity)
+    on = effects.use_vignette > 0.5
+    hdr = Vec3(
+        jnp.where(on, vig.x, hdr.x),
+        jnp.where(on, vig.y, hdr.y),
+        jnp.where(on, vig.z, hdr.z),
+    )
+    return tonemap(hdr, exposure)
+
+
+def pack_rgba8(ldr: Vec3) -> jnp.ndarray:
+    """float [0,1) -> uint8[H, W, 4], alpha=255. The reference C cast
+    truncates toward zero ((unsigned char)(x*255), raymarcher.cu:168-172);
+    XLA's float->int convert also truncates, so the cast matches."""
+    def chan(c):
+        return jnp.clip(c * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+    r = chan(ldr.x)
+    g = chan(ldr.y)
+    b = chan(ldr.z)
+    a = jnp.full_like(r, 255)
+    return jnp.stack([r, g, b, a], axis=-1)

@@ -1,0 +1,155 @@
+"""Equirectangular skybox sampling.
+
+The reference binds the skybox as a CUDA texture object — RGBA8,
+normalized-float reads, bilinear filtering, wrap on U / clamp on V,
+normalized coordinates (reference: src/main.cpp:250-263) — and samples it
+with phi/theta mapping plus optional chromatic-aberration phi offsets
+(reference: src/raymarcher.cu:128-146).
+
+TPUs have no texture units: this module is the hand-written equivalent —
+a batched 4-tap bilinear gather over an HBM-resident uint8 texture, with
+CUDA's texel addressing (half-texel centers: sample at u*W - 0.5) and
+border modes reproduced exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from relativisticraytracer_tpu.config import PI
+from relativisticraytracer_tpu.core.noise import fbm, hash31
+from relativisticraytracer_tpu.core.vecmath import Vec3
+
+
+class Skybox(NamedTuple):
+    """Device-resident equirect texture as three uint8 [H, W] channel planes
+    (SoA: keeps gathers per-channel contiguous and drops the unused alpha)."""
+
+    r: jnp.ndarray
+    g: jnp.ndarray
+    b: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.r.shape
+
+
+def skybox_from_array(rgba: np.ndarray) -> Skybox:
+    """uint8 [H, W, 3or4] host image -> device Skybox (the one-time upload,
+    analog of cudaMemcpy2DToArray at main.cpp:247-248)."""
+    rgba = np.asarray(rgba)
+    if rgba.dtype != np.uint8:
+        raise ValueError(f"skybox must be uint8, got {rgba.dtype}")
+    return Skybox(
+        jnp.asarray(rgba[..., 0]),
+        jnp.asarray(rgba[..., 1]),
+        jnp.asarray(rgba[..., 2]),
+    )
+
+
+def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
+    """CUDA tex2D<float4> with normalized coords, linear filter, wrap-U,
+    clamp-V, normalized-float reads (main.cpp:255-261).
+
+    Addressing: u in [0,1) wraps (u - floor(u)); the filtered sample sits at
+    (u*W - 0.5, v*H - 0.5) between texel centers; U taps wrap mod W, V taps
+    clamp to [0, H-1]. Texels read as uint8/255.
+    """
+    h, w = tex.shape
+    # wrap-U on the normalized coordinate, clamp-V
+    ux = (tx - jnp.floor(tx)) * jnp.float32(w)
+    vy = jnp.clip(ty, 0.0, 1.0) * jnp.float32(h)
+
+    xb = ux - 0.5
+    yb = vy - 0.5
+    x0 = jnp.floor(xb)
+    y0 = jnp.floor(yb)
+    fx = xb - x0
+    fy = yb - y0
+
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    flat00 = y0i * w + x0i
+    flat10 = y0i * w + x1i
+    flat01 = y1i * w + x0i
+    flat11 = y1i * w + x1i
+
+    inv255 = jnp.float32(1.0 / 255.0)
+
+    def gather(plane):
+        flat = plane.reshape(-1)
+        t00 = jnp.take(flat, flat00).astype(jnp.float32)
+        t10 = jnp.take(flat, flat10).astype(jnp.float32)
+        t01 = jnp.take(flat, flat01).astype(jnp.float32)
+        t11 = jnp.take(flat, flat11).astype(jnp.float32)
+        top = t00 + fx * (t10 - t00)
+        bot = t01 + fx * (t11 - t01)
+        return (top + fy * (bot - top)) * inv255
+
+    return Vec3(gather(tex.r), gather(tex.g), gather(tex.b))
+
+
+def _equirect_uv(d: Vec3, phi_offset):
+    """Direction -> equirect uv (raymarcher.cu:134-138):
+    tx = 0.5 + (atan2(z, x) + off) / 2pi;  ty = 0.5 - asin(y) / pi."""
+    phi = jnp.arctan2(d.z, d.x) + phi_offset
+    theta = jnp.arcsin(jnp.clip(d.y, -1.0, 1.0))
+    tx = 0.5 + phi / (2.0 * PI)
+    ty = 0.5 - theta / PI
+    return tx, ty
+
+
+def sample_sky(tex: Skybox, d: Vec3, effects) -> Vec3:
+    """Background color for escape direction d, with chromatic aberration as
+    +/- phi offsets on the R/B channels (raymarcher.cu:131-145). The
+    reference always takes three samples (offset, 0, -offset with offset=0
+    when CA is off); we do the same so toggling CA never retraces."""
+    offset = jnp.where(
+        effects.use_chromatic_aberration > 0.5,
+        effects.ca_amount,
+        jnp.float32(0.0),
+    )
+    tr_x, tr_y = _equirect_uv(d, offset)
+    tg_x, tg_y = _equirect_uv(d, jnp.float32(0.0))
+    tb_x, tb_y = _equirect_uv(d, -offset)
+    s_r = sample_bilinear(tex, tr_x, tr_y)
+    s_g = sample_bilinear(tex, tg_x, tg_y)
+    s_b = sample_bilinear(tex, tb_x, tb_y)
+    return Vec3(s_r.x, s_g.y, s_b.z)
+
+
+def procedural_starfield(height: int = 1024, width: int = 2048, seed: float = 7.0) -> np.ndarray:
+    """Deterministic procedural equirect starfield + nebula, built from the
+    framework's own hash/fbm stack (no external asset needed — the reference
+    ships a JPEG we do not copy). Returns uint8 [height, width, 4]."""
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ty = (ys[:, None] + 0.5) / height
+    tx = (xs[None, :] + 0.5) / width
+    phi = (tx - 0.5) * (2.0 * PI)
+    theta = (0.5 - ty) * PI
+    d = Vec3(
+        jnp.cos(theta) * jnp.cos(phi),
+        jnp.broadcast_to(jnp.sin(theta), (height, width)),
+        jnp.cos(theta) * jnp.sin(phi),
+    )
+    # Star layer: thresholded hash on a quantized direction grid.
+    cell = Vec3(d.x * 384.0 + seed, d.y * 384.0 - seed, d.z * 384.0 + 2.0 * seed)
+    hq = hash31(Vec3(jnp.floor(cell.x), jnp.floor(cell.y), jnp.floor(cell.z)))
+    stars = jnp.clip((jnp.abs(hq) - 0.9985) * 700.0, 0.0, 1.0)
+    # Faint nebula: low-frequency fbm tinted blue/purple.
+    neb = fbm(Vec3(d.x * 3.0 + seed, d.y * 3.0, d.z * 3.0 - seed), 4)
+    neb = jnp.clip(neb - 0.45, 0.0, 1.0)
+    r = jnp.clip(stars + 0.30 * neb, 0.0, 1.0)
+    g = jnp.clip(stars + 0.18 * neb, 0.0, 1.0)
+    b = jnp.clip(stars + 0.45 * neb, 0.0, 1.0)
+    img = jnp.stack(
+        [r * 255.0, g * 255.0, b * 255.0, jnp.full_like(r, 255.0)], axis=-1
+    ).astype(jnp.uint8)
+    return np.asarray(img)
