@@ -70,10 +70,14 @@ def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
     fx = xb - x0
     fy = yb - y0
 
-    x0i = jnp.mod(x0.astype(jnp.int32), w)
-    x1i = jnp.mod(x0i + 1, w)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0_int = x0.astype(jnp.int32)
+    y0_int = y0.astype(jnp.int32)
+    x0i = jnp.mod(x0_int, w)
+    x1i = jnp.mod(x0_int + 1, w)
+    # Each V tap clamps independently (at the pole rows both taps land on the
+    # same row, matching CUDA clamp-to-edge).
+    y0i = jnp.clip(y0_int, 0, h - 1)
+    y1i = jnp.clip(y0_int + 1, 0, h - 1)
 
     flat00 = y0i * w + x0i
     flat10 = y0i * w + x1i

@@ -1,0 +1,126 @@
+"""March-loop parity: the masked lock-step JAX march must reproduce the
+reference's divergent per-thread loop (src/raymarcher.cu:41-121) exactly —
+ordering (horizon check -> adaptive h -> RK4 -> media at pre-step position
+with post-step velocity -> escape), early-exit freezing, and compositing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from relativisticraytracer_tpu.config import SceneConfig
+from relativisticraytracer_tpu.core.vecmath import Vec3
+from relativisticraytracer_tpu.render.march import march
+from tests.oracle import numpy_ref as oracle
+
+SCENE = SceneConfig()
+
+
+def _as_vec3(a):
+    a = np.asarray(a, dtype=np.float32)
+    return Vec3(jnp.asarray(a[..., 0]), jnp.asarray(a[..., 1]), jnp.asarray(a[..., 2]))
+
+
+def _march_oracle(origins, dirs, t, max_steps, **kw):
+    outs = [oracle.march_ray(p, v, t, max_steps, **kw) for p, v in zip(origins, dirs)]
+    p = np.stack([o[0] for o in outs])
+    v = np.stack([o[1] for o in outs])
+    inten = np.stack([o[2] for o in outs])
+    trans = np.array([o[3] for o in outs], dtype=np.float32)
+    hit = np.array([o[4] for o in outs])
+    return p, v, inten, trans, hit
+
+
+def _ray_fan(n=16):
+    """Rays from the default camera pose, fanned across the view: a mix of
+    horizon-capture, disk-crossing, and escape trajectories."""
+    pos, fwd, right, up = oracle.camera_basis((0.0, 10.0, -60.0), 0.0, -10.0)
+    origins, dirs = [], []
+    for i in range(n):
+        u = np.float32(-0.5 + i / (n - 1))
+        v = np.float32(-0.3 + 0.6 * ((i * 7) % n) / (n - 1))
+        d = oracle.normalize((fwd + right * u + up * v).astype(np.float32))
+        origins.append(pos.copy())
+        dirs.append(d)
+    return np.stack(origins), np.stack(dirs)
+
+
+@pytest.mark.parametrize("loop", ["scan", "while"])
+def test_march_matches_scalar_oracle_vacuum(loop):
+    scene = SceneConfig(enable_disk=False, enable_clouds=False)
+    origins, dirs = _ray_fan(12)
+    steps = 600
+    st = march(scene, _as_vec3(origins), _as_vec3(dirs), 0.0, max_steps=steps, loop=loop)
+    wp, wv, _, wtrans, whit = _march_oracle(
+        origins, dirs, 0.0, steps, enable_disk=False, enable_clouds=False
+    )
+    np.testing.assert_array_equal(np.asarray(st.hit_horizon), whit)
+    got_p = np.stack([np.asarray(st.p.x), np.asarray(st.p.y), np.asarray(st.p.z)], -1)
+    got_v = np.stack([np.asarray(st.v.x), np.asarray(st.v.y), np.asarray(st.v.z)], -1)
+    # Positions drift by accumulated f32 ulps over hundreds of RK4 steps;
+    # direction (what the skybox sees) is the tight contract.
+    np.testing.assert_allclose(got_p, wp, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_v, wv, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st.transmittance), wtrans, atol=1e-6)
+
+
+def test_march_matches_scalar_oracle_full_media():
+    origins, dirs = _ray_fan(10)
+    steps = 900
+    t = 1.5
+    st = march(SCENE, _as_vec3(origins), _as_vec3(dirs), t, max_steps=steps, loop="while")
+    wp, wv, winten, wtrans, whit = _march_oracle(origins, dirs, t, steps)
+    np.testing.assert_array_equal(np.asarray(st.hit_horizon), whit)
+    got_i = np.stack(
+        [np.asarray(st.intensity.x), np.asarray(st.intensity.y), np.asarray(st.intensity.z)],
+        -1,
+    )
+    np.testing.assert_allclose(got_i, winten, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st.transmittance), wtrans, rtol=2e-2, atol=2e-3)
+
+
+def test_scan_and_while_agree_bitwise():
+    origins, dirs = _ray_fan(16)
+    a = march(SCENE, _as_vec3(origins), _as_vec3(dirs), 2.0, max_steps=400, loop="scan")
+    b = march(SCENE, _as_vec3(origins), _as_vec3(dirs), 2.0, max_steps=400, loop="while")
+    for xa, xb in [
+        (a.p.x, b.p.x), (a.v.z, b.v.z), (a.intensity.x, b.intensity.x),
+        (a.transmittance, b.transmittance),
+    ]:
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+
+
+def test_horizon_capture_kills_transmittance():
+    # Ray aimed dead center from nearby: must capture with T=0.
+    origins = np.array([[0.0, 0.0, -20.0]], dtype=np.float32)
+    dirs = np.array([[0.0, 0.0, 1.0]], dtype=np.float32)
+    scene = SceneConfig(enable_disk=False, enable_clouds=False)
+    st = march(scene, _as_vec3(origins), _as_vec3(dirs), 0.0, max_steps=1500)
+    assert bool(np.asarray(st.hit_horizon)[0])
+    assert float(np.asarray(st.transmittance)[0]) == 0.0
+
+
+def test_escape_freezes_state():
+    # A ray pointing straight away escapes quickly and stays frozen.
+    origins = np.array([[0.0, 0.0, -260.0]], dtype=np.float32)
+    dirs = np.array([[0.0, 0.0, -1.0]], dtype=np.float32)
+    scene = SceneConfig(enable_disk=False, enable_clouds=False)
+    st = march(scene, _as_vec3(origins), _as_vec3(dirs), 0.0, max_steps=800)
+    assert not bool(np.asarray(st.active)[0])
+    assert not bool(np.asarray(st.hit_horizon)[0])
+    # frozen exactly one step after launch: p = origin + v*h (straight line,
+    # far field => acc ~ 0 but nonzero; just check it barely moved)
+    assert abs(float(np.asarray(st.p.z)[0]) + 260.3) < 1e-3
+
+
+def test_photon_sphere_capture_boundary():
+    # Schwarzschild critical impact parameter b_c = 3*sqrt(3)*M (Rs=2M -> M=1).
+    # The weak-field pseudo-potential reproduces capture for b < ~b_c.
+    scene = SceneConfig(enable_disk=False, enable_clouds=False)
+    b_crit = 3.0 * np.sqrt(3.0)
+    for b, expect_capture in [(b_crit * 0.6, True), (b_crit * 1.8, False)]:
+        origins = np.array([[b, 0.0, -200.0]], dtype=np.float32)
+        dirs = np.array([[0.0, 0.0, 1.0]], dtype=np.float32)
+        st = march(scene, _as_vec3(origins), _as_vec3(dirs), 0.0, max_steps=2000)
+        assert bool(np.asarray(st.hit_horizon)[0]) == expect_capture, f"b={b}"
