@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-scene 1080p frame time on one TPU chip.
+
+Renders the BASELINE.json north-star workload — 1920x1080 Kerr frame with
+volumetric accretion disk + dust clouds + skybox + post FX, reference
+quality settings (2000-step cap, 0.3M base step) — and prints ONE JSON
+line. Baseline: 33.33 ms/frame (>30 fps target; the CUDA reference
+publishes no numbers, see BASELINE.md). vs_baseline > 1.0 beats the target.
+
+Usage: python bench.py [--small] [--frames N] [--loop while|scan|pallas]
+"""
+
+import argparse
+import json
+import sys
+import time as _time
+
+BASELINE_MS = 1000.0 / 30.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="256x256 quick sanity run")
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--loop", default=None, choices=["while", "scan", "pallas"])
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from relativisticraytracer_tpu.config import (
+        CameraEffects,
+        RenderSettings,
+        SceneConfig,
+    )
+    from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+    from relativisticraytracer_tpu.render.pipeline import Renderer
+    from relativisticraytracer_tpu.render.skybox import procedural_starfield
+
+    platform = jax.devices()[0].platform
+    loop = args.loop or ("pallas" if platform == "tpu" else "while")
+    if args.small:
+        width, height = 256, 256
+    else:
+        width, height = 1920, 1080
+
+    scene = SceneConfig()  # full reference scene, max_steps=2000
+    settings = RenderSettings(
+        width=width, height=height, max_steps=scene.max_steps, loop=loop
+    )
+    try:
+        renderer = Renderer(scene, settings, skybox_rgba=procedural_starfield(2048, 4096))
+    except Exception:
+        if loop == "pallas":
+            # Pallas path unavailable on this backend; fall back.
+            settings = RenderSettings(
+                width=width, height=height, max_steps=scene.max_steps, loop="while"
+            )
+            loop = "while"
+            renderer = Renderer(
+                scene, settings, skybox_rgba=procedural_starfield(2048, 4096)
+            )
+        else:
+            raise
+
+    # Reference startup pose (src/main.cpp:128-130); sim clock advances at
+    # the recording rate (main.cpp:511-513).
+    camera = camera_state_from_pose((0.0, 10.0, -60.0), 0.0, -10.0)
+    effects = CameraEffects()
+
+    # Warmup / compile
+    renderer.render(camera, effects, 0.0).block_until_ready()
+
+    times = []
+    for i in range(args.frames):
+        t = 1.0 + i / 24.0
+        t0 = _time.perf_counter()
+        renderer.render(camera, effects, t).block_until_ready()
+        times.append((_time.perf_counter() - t0) * 1000.0)
+
+    ms = float(np.median(times))
+    result = {
+        "metric": f"full_scene_{height}p_frame_time[{platform},{loop}]",
+        "value": round(ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / ms, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# frames: {[round(t, 1) for t in times]} ms | {1000.0 / ms:.2f} fps | "
+        f"target {BASELINE_MS:.1f} ms",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,8 +61,9 @@ def init_state(origin: Vec3, direction: Vec3) -> MarchState:
         v=direction,
         intensity=Vec3(zeros, zeros, zeros),
         transmittance=jnp.ones_like(zeros),
-        hit_horizon=jnp.zeros(zeros.shape, dtype=bool),
-        active=jnp.ones(zeros.shape, dtype=bool),
+        # *_like keeps shard_map varying-axis tags attached to the inputs.
+        hit_horizon=jnp.zeros_like(zeros, dtype=bool),
+        active=jnp.ones_like(zeros, dtype=bool),
     )
 
 

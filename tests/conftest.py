@@ -1,15 +1,21 @@
 """Test harness config: force the CPU backend with 8 virtual devices so
-sharding tests exercise a multi-chip mesh without TPU hardware (this must
-run before jax is imported anywhere)."""
+sharding tests exercise a multi-chip mesh without TPU hardware.
+
+NB: in this environment a preinstalled TPU plugin overrides the
+JAX_PLATFORMS *environment variable*, so we must also set the config flag
+after import (XLA_FLAGS still must be set before the first backend init)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,72 @@
+"""Multi-chip tiling: sharded render must equal single-device render
+bit-for-bit (SURVEY.md §4: 'a multi-chip tile-split render is tested by
+asserting tiled == untiled'). Runs on 8 virtual CPU devices (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from relativisticraytracer_tpu.config import (
+    CameraEffects,
+    RenderSettings,
+    SceneConfig,
+)
+from relativisticraytracer_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_renderer,
+    render_frame_sharded,
+)
+from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+from relativisticraytracer_tpu.render.pipeline import render_frame
+from relativisticraytracer_tpu.render.skybox import procedural_starfield, skybox_from_array
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _setup(w=64, h=48, steps=120):
+    scene = SceneConfig(max_steps=steps)
+    settings = RenderSettings(width=w, height=h, max_steps=steps, loop="while")
+    sky = skybox_from_array(procedural_starfield(32, 64))
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    eff = CameraEffects()
+    return scene, settings, sky, cam, eff
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_tiled_equals_untiled(shape):
+    scene, settings, sky, cam, eff = _setup()
+    mesh = make_mesh(shape=shape)
+    tiled = np.asarray(
+        render_frame_sharded(scene, settings, mesh, cam, eff, 1.0, sky)
+    )
+    untiled = np.asarray(render_frame(scene, settings, cam, eff, 1.0, sky))
+    np.testing.assert_array_equal(tiled, untiled)
+
+
+def test_jitted_sharded_renderer():
+    scene, settings, sky, cam, eff = _setup()
+    mesh = make_mesh(shape=(4, 2))
+    fn = make_sharded_renderer(scene, settings, mesh)
+    out = fn(cam, eff, 1.0, sky)
+    assert out.shape == (48, 64, 4)
+    # output is actually sharded over the mesh
+    assert len(out.sharding.device_set) == 8
+    untiled = np.asarray(render_frame(scene, settings, cam, eff, 1.0, sky))
+    np.testing.assert_array_equal(np.asarray(out), untiled)
+
+
+def test_indivisible_image_rejected():
+    scene, settings, sky, cam, eff = _setup(w=63, h=48)
+    mesh = make_mesh(shape=(4, 2))
+    with pytest.raises(ValueError):
+        render_frame_sharded(scene, settings, mesh, cam, eff, 0.0, sky)
+
+
+def test_mesh_factorization():
+    m = make_mesh(shape=None)
+    assert m.devices.size == len(jax.devices())
+    ny, nx = m.devices.shape
+    assert ny * nx == m.devices.size
