@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from relativisticraytracer_tpu.config import SceneConfig
+from relativisticraytracer_tpu.core.fastmath import atan2
 from relativisticraytracer_tpu.core.noise import fbm, noise3D
 from relativisticraytracer_tpu.core.vecmath import Vec3, smoothstep
 
@@ -52,7 +53,7 @@ def accretion_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
     base_envelope = vertical_density * radial_density * edge_falloff
 
     # 2. differential rotation + multi-octave clouds (densities.h:38-54)
-    phi = jnp.arctan2(p.z, p.x)
+    phi = atan2(p.z, p.x)
     omega = 3.5 * (isco / safe_r) ** 1.5
     angle_rotated = phi - time * omega
 
@@ -89,7 +90,7 @@ def dust_cloud_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
     alive = base >= 0.001  # early-out in the reference (densities.h:85)
 
     # 2. differential shearing (densities.h:88-90)
-    phi = jnp.arctan2(p.z, p.x)
+    phi = atan2(p.z, p.x)
     omega = (isco / safe_r) ** 1.5
     angle_rot = phi - time * omega
 

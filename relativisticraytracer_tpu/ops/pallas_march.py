@@ -1,0 +1,212 @@
+"""Fused Pallas TPU march kernel with per-tile early exit.
+
+The monolithic XLA march (render/march.py) runs the whole image in lock
+step: every ray pays for the slowest ray in the FRAME (up to the 2000-step
+cap near the photon sphere) and the media shading runs whenever ANY ray in
+the frame is inside a zone. This kernel restores the reference GPU's
+block-level scheduling (reference: 16x16 CUDA blocks, src/raymarcher.cu:177)
+the TPU way:
+
+  * the frame is a Pallas grid of (BH, BW) pixel tiles, processed
+    sequentially per core (parallel across cores where available);
+  * each tile runs its own `lax.while_loop` and EXITS as soon as all of its
+    rays are captured/escaped — far-field tiles finish in a few hundred
+    steps while photon-ring tiles run to the cap;
+  * per step, the radiative-transfer block runs under a `lax.cond` on
+    "any ray in this tile is inside a media zone" — vacuum tiles march at
+    pure-RK4 cost (the march body itself is the SAME `march_step` used by
+    the XLA path, so parity is structural, and is covered by the
+    pallas==while bitwise test).
+
+Only the march loop lives in the kernel; skybox gather, post FX, tone map
+and packing remain fused XLA ops around it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from relativisticraytracer_tpu.config import (
+    CameraEffects,
+    RenderSettings,
+    SceneConfig,
+)
+from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
+from relativisticraytracer_tpu.render.camera import generate_rays
+from relativisticraytracer_tpu.render.march import MarchState, march_step
+from relativisticraytracer_tpu.render.postfx import (
+    apply_effects_and_tonemap,
+    pack_rgba8,
+)
+from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
+
+# Default tile: 4 sublane groups x 2 lane groups of the f32 (8, 128) vreg.
+# Small enough for early-exit coherence, large enough to amortize loop
+# control. Tunable via RenderSettings in the wrapper below.
+TILE_H = 32
+TILE_W = 256
+
+
+def _march_tile_kernel(scene: SceneConfig, max_steps: int,
+                       time_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                       vx_ref, vy_ref, vz_ref):
+    t = time_ref[0]
+
+    zeros = jnp.zeros_like(ox_ref[:])
+    state = MarchState(
+        p=Vec3(ox_ref[:], oy_ref[:], oz_ref[:]),
+        v=Vec3(dx_ref[:], dy_ref[:], dz_ref[:]),
+        intensity=Vec3(zeros, zeros, zeros),
+        transmittance=jnp.ones_like(zeros),
+        hit_horizon=jnp.zeros_like(zeros, dtype=bool),
+        active=jnp.ones_like(zeros, dtype=bool),
+    )
+
+    # Mosaic cannot carry i1 vectors through scf.while — ship the masks as
+    # f32 0/1 planes across loop iterations and rebuild bools inside.
+    def pack(i, st):
+        return (i, st.p, st.v, st.intensity, st.transmittance,
+                st.hit_horizon.astype(jnp.float32), st.active.astype(jnp.float32))
+
+    def unpack(carry):
+        i, p, v, inten, trans, hit_f, act_f = carry
+        return i, MarchState(p, v, inten, trans, hit_f > 0.5, act_f > 0.5)
+
+    def cond(carry):
+        i, st = unpack(carry)
+        return jnp.logical_and(i < max_steps, jnp.any(st.active))
+
+    def body(carry):
+        i, st = unpack(carry)
+        return pack(i + 1, march_step(scene, st, t, media_cond=True))
+
+    _, state = unpack(
+        jax.lax.while_loop(cond, body, pack(jnp.int32(0), state))
+    )
+
+    ir_ref[:] = state.intensity.x
+    ig_ref[:] = state.intensity.y
+    ib_ref[:] = state.intensity.z
+    tr_ref[:] = state.transmittance
+    hit_ref[:] = state.hit_horizon.astype(jnp.float32)
+    vx_ref[:] = state.v.x
+    vy_ref[:] = state.v.y
+    vz_ref[:] = state.v.z
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scene", "max_steps", "tile_h", "tile_w")
+)
+def march_pallas(
+    scene: SceneConfig,
+    origin: Vec3,
+    direction: Vec3,
+    time,
+    max_steps: int,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+):
+    """March all rays with the fused tile kernel.
+
+    origin/direction: (H, W) planes. Returns (intensity Vec3,
+    transmittance, hit_horizon bool, final velocity Vec3), each (H, W).
+    """
+    h, w = origin.x.shape
+    hp, wp = _round_up(h, tile_h), _round_up(w, tile_w)
+
+    def pad(a):
+        return jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
+
+    planes = [pad(a) for a in (origin.x, origin.y, origin.z,
+                               direction.x, direction.y, direction.z)]
+    time_arr = jnp.asarray([time], dtype=jnp.float32)
+
+    grid = (hp // tile_h, wp // tile_w)
+    tile_spec = pl.BlockSpec(
+        (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+
+    kernel = functools.partial(_march_tile_kernel, scene, max_steps)
+
+    # Rough cost model: ~70% of rays escape after a few hundred vacuum steps,
+    # photon-ring tiles run to the cap. Informs XLA's scheduler only.
+    avg_steps = max(1, max_steps // 3)
+    cost = pl.CostEstimate(
+        flops=int(hp * wp) * avg_steps * 320,
+        bytes_accessed=int(hp * wp) * 4 * 14,
+        transcendentals=int(hp * wp) * avg_steps * 8,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # time (1,)
+        ] + [tile_spec] * 6,
+        out_specs=[tile_spec] * 8,
+        out_shape=[out_shape] * 8,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(time_arr, *planes)
+
+    ir, ig, ib, tr, hit, vx, vy, vz = [o[:h, :w] for o in outs]
+    return (
+        Vec3(ir, ig, ib),
+        tr,
+        hit > 0.5,
+        Vec3(vx, vy, vz),
+    )
+
+
+def render_frame_pallas(
+    scene: SceneConfig,
+    settings: RenderSettings,
+    camera,
+    effects: CameraEffects,
+    time,
+    sky: Optional[Skybox],
+) -> jnp.ndarray:
+    """Drop-in replacement for render/pipeline.render_frame using the fused
+    tile kernel for the march. Same semantics, same output."""
+    origin, direction, uv_x, uv_y = generate_rays(
+        settings.width, settings.height, camera, effects
+    )
+    intensity, trans, hit, vel = march_pallas(
+        scene, origin, direction, jnp.asarray(time, jnp.float32),
+        settings.max_steps,
+    )
+
+    d = normalize(vel)
+    if sky is not None:
+        bg = sample_sky(sky, d, effects)
+    else:
+        zero = jnp.zeros_like(d.x)
+        bg = Vec3(zero, zero, zero)
+    zero = jnp.zeros_like(trans)
+    bg = Vec3(
+        jnp.where(hit, zero, bg.x),
+        jnp.where(hit, zero, bg.y),
+        jnp.where(hit, zero, bg.z),
+    )
+    hdr = Vec3(
+        intensity.x + bg.x * trans,
+        intensity.y + bg.y * trans,
+        intensity.z + bg.z * trans,
+    )
+    ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
+    return pack_rgba8(ldr)

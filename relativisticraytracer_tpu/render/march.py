@@ -117,8 +117,14 @@ def _media_contribution(scene: SceneConfig, rel: Vec3, r, v_new: Vec3,
     return Vec3(emit_r, emit_g, emit_b), opacity
 
 
-def march_step(scene: SceneConfig, state: MarchState, time) -> MarchState:
-    """One reference march iteration (raymarcher.cu:41-121), fully masked."""
+def march_step(scene: SceneConfig, state: MarchState, time,
+               media_cond: bool = False) -> MarchState:
+    """One reference march iteration (raymarcher.cu:41-121), fully masked.
+
+    media_cond=True wraps the radiative-transfer block in a `lax.cond` on
+    "any ray in this array is inside a media zone" — a whole-array skip of
+    the (expensive) density evaluation. Used by the Pallas kernel where the
+    array is one pixel tile, so vacuum tiles march at vacuum cost."""
     p, v, intensity, trans, hit, active = state
     eh = scene.event_horizon
     mp = scene.mass_pos
@@ -154,21 +160,34 @@ def march_step(scene: SceneConfig, state: MarchState, time) -> MarchState:
     # 4. radiative transfer (raymarcher.cu:67-117): PRE-step position,
     # POST-step velocity
     if scene.enable_disk or scene.enable_clouds:
-        emit, opacity = _media_contribution(
-            scene, rel, r, v, in_disk_zone, in_cloud_zone, time
-        )
-        d_tau = opacity * h
-        step_trans = jnp.exp(-d_tau)
-        factor = (1.0 - step_trans) * trans
         in_media = jnp.logical_and(
             active, jnp.logical_or(in_disk_zone, in_cloud_zone)
         )
-        intensity = Vec3(
-            intensity.x + _select(in_media, emit.x * factor, 0.0),
-            intensity.y + _select(in_media, emit.y * factor, 0.0),
-            intensity.z + _select(in_media, emit.z * factor, 0.0),
-        )
-        trans = _select(in_media, trans * step_trans, trans)
+
+        def do_media(intensity, trans):
+            emit, opacity = _media_contribution(
+                scene, rel, r, v, in_disk_zone, in_cloud_zone, time
+            )
+            d_tau = opacity * h
+            step_trans = jnp.exp(-d_tau)
+            factor = (1.0 - step_trans) * trans
+            intensity = Vec3(
+                intensity.x + _select(in_media, emit.x * factor, 0.0),
+                intensity.y + _select(in_media, emit.y * factor, 0.0),
+                intensity.z + _select(in_media, emit.z * factor, 0.0),
+            )
+            trans = _select(in_media, trans * step_trans, trans)
+            return intensity, trans
+
+        if media_cond:
+            intensity, trans = jax.lax.cond(
+                jnp.any(in_media),
+                do_media,
+                lambda intensity, trans: (intensity, trans),
+                intensity, trans,
+            )
+        else:
+            intensity, trans = do_media(intensity, trans)
 
     # 5. escape to infinity (raymarcher.cu:120) — POST-step velocity,
     # PRE-step position
