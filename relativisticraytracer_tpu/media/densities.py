@@ -32,9 +32,45 @@ def disk_temperature(scene: SceneConfig, r: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(r < scene.isco_radius, jnp.zeros_like(r), t)
 
 
-def accretion_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
-    """Accretion-disk gas density at BH-relative position p
-    (reference: densities.h:20-62)."""
+# Upper bound of the disk streak factor (0.02 + 5*cloud, cloud clamped to 6,
+# densities.h:59-61): density <= envelope * 30.02. Used to prove whole tiles
+# can skip the 5-octave fbm without changing any pixel.
+DISK_STREAK_MAX = 30.02
+
+
+def disk_probe_bounds(scene: SceneConfig):
+    """Cheap per-step skip probe for the disk (static Python floats).
+
+    d_disk <= envelope * DISK_STREAK_MAX and envelope <= exp(-y^2/(2 h_max^2
+    + 1e-7)) with h_max = disk_h_m (radial/edge factors <= 1 in the annulus),
+    so d_disk can only exceed the 0.001 emission gate when |y| < y_bound and
+    r_cyl is inside a (1-ulp widened) annulus. ~10 VPU ops instead of the
+    full envelope; skipping on this probe is exact."""
+    import math
+
+    h2 = 2.0 * scene.disk_h_m * scene.disk_h_m + 1e-7
+    y_bound = math.sqrt(h2 * math.log(DISK_STREAK_MAX / 0.001)) * 1.001
+    r_lo2 = (scene.isco_radius * 0.99999) ** 2
+    r_hi2 = (scene.disk_out_m * 1.00001) ** 2
+    return y_bound, r_lo2, r_hi2
+
+
+def cloud_probe_bounds(scene: SceneConfig):
+    """Same idea for the clouds: base >= 0.001 (the reference's own early-out,
+    densities.h:85) requires |y| < y_bound with h_max = 0.5*cloud_h_m."""
+    import math
+
+    h_max = scene.cloud_h_m * 0.5
+    h2 = 2.0 * h_max * h_max + 1e-7
+    y_bound = math.sqrt(h2 * math.log(1000.0)) * 1.001
+    r_lo2 = (scene.isco_radius * 0.99999) ** 2
+    r_hi2 = (scene.disk_out_m * 1.00001) ** 2
+    return y_bound, r_lo2, r_hi2
+
+
+def accretion_envelope(scene: SceneConfig, p: Vec3):
+    """Stage 1 of the disk density: cheap analytic envelope
+    (densities.h:25-35). Returns (envelope, in_annulus, r_cyl, safe_r)."""
     isco = scene.isco_radius
     disk_out = scene.disk_out_m
 
@@ -42,7 +78,6 @@ def accretion_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
     in_annulus = jnp.logical_and(r >= isco, r <= disk_out)
     safe_r = jnp.maximum(r, _R_EPS)
 
-    # 1. base envelope (densities.h:25-35)
     edge_start = disk_out * 0.85
     ef = 1.0 - (r - edge_start) / (disk_out - edge_start)
     edge_falloff = jnp.where(r > edge_start, ef * ef, jnp.ones_like(r))
@@ -50,9 +85,13 @@ def accretion_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
     local_h = scene.disk_h_m * jnp.sqrt(isco / safe_r)
     vertical_density = jnp.exp(-(p.y * p.y) / (2.0 * local_h * local_h + 1e-7))
     radial_density = (isco / safe_r) ** 0.4
-    base_envelope = vertical_density * radial_density * edge_falloff
+    return vertical_density * radial_density * edge_falloff, in_annulus, r, safe_r
 
-    # 2. differential rotation + multi-octave clouds (densities.h:38-54)
+
+def accretion_streaks(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarray:
+    """Stage 2: the expensive rotating 5-octave fbm streak factor
+    (densities.h:38-59). In (0.02, 30.02]."""
+    isco = scene.isco_radius
     phi = atan2(p.z, p.x)
     omega = 3.5 * (isco / safe_r) ** 1.5
     angle_rotated = phi - time * omega
@@ -62,18 +101,24 @@ def accretion_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
     noise_coords = Vec3(rot.x * 0.45, rot.y * 0.45 + evolution, rot.z * 0.45)
     n = fbm(noise_coords, 5)
 
-    # high-contrast streaks (densities.h:57-59)
     cloud = jnp.maximum(0.0, n - 0.32)
     cloud = (cloud * 2.8) ** 1.6
     cloud = jnp.minimum(6.0, cloud)
+    return 0.02 + 5.0 * cloud
 
-    out = base_envelope * (0.02 + 5.0 * cloud)
+
+def accretion_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
+    """Accretion-disk gas density at BH-relative position p
+    (reference: densities.h:20-62)."""
+    envelope, in_annulus, r, safe_r = accretion_envelope(scene, p)
+    out = envelope * accretion_streaks(scene, p, r, safe_r, time)
     return jnp.where(in_annulus, out, jnp.zeros_like(r))
 
 
-def dust_cloud_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
-    """Large-scale dust-cloud density at BH-relative position p
-    (reference: densities.h:69-132)."""
+def dust_base(scene: SceneConfig, p: Vec3):
+    """Stage 1 of the cloud density: cheap analytic base envelope
+    (densities.h:74-85). Returns (base, in_annulus, alive, r, safe_r) —
+    `alive` is the reference's exact early-out (base < 0.001 -> density 0)."""
     isco = scene.isco_radius
     disk_out = scene.disk_out_m  # NB: the reference gates clouds on DISK_OUT_M too
 
@@ -81,13 +126,19 @@ def dust_cloud_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
     in_annulus = jnp.logical_and(r >= isco, r <= disk_out)
     safe_r = jnp.maximum(r, _R_EPS)
 
-    # 1. base envelope (densities.h:74-83); note smoothstep edges are reversed
     edge_falloff = smoothstep(disk_out, disk_out * 0.8, r)
     inner_taper = smoothstep(isco, isco + 5.0, r)
     local_h = scene.cloud_h_m * 0.5 * (isco / safe_r) ** 0.2
     vertical_profile = jnp.exp(-(p.y * p.y) / (2.0 * local_h * local_h + 1e-7))
     base = vertical_profile * edge_falloff * inner_taper
-    alive = base >= 0.001  # early-out in the reference (densities.h:85)
+    alive = base >= 0.001
+    return base, in_annulus, alive, r, safe_r
+
+
+def dust_strands(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarray:
+    """Stage 2: the expensive warped multi-octave wisp factor
+    (densities.h:88-128), including the final x12 gain."""
+    isco = scene.isco_radius
 
     # 2. differential shearing (densities.h:88-90)
     phi = atan2(p.z, p.x)
@@ -128,7 +179,13 @@ def dust_cloud_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
     strands = strands ** 4.0
     detail = fbm(Vec3(fc.x * 4.0, fc.y * 4.0 + time * 0.5, fc.z * 4.0), 2)
     strands = strands * (0.6 + 0.4 * detail)
+    return strands * 12.0
 
-    out = base * strands * 12.0
+
+def dust_cloud_density(scene: SceneConfig, p: Vec3, time) -> jnp.ndarray:
+    """Large-scale dust-cloud density at BH-relative position p
+    (reference: densities.h:69-132)."""
+    base, in_annulus, alive, r, safe_r = dust_base(scene, p)
+    out = base * dust_strands(scene, p, r, safe_r, time)
     zero = jnp.zeros_like(r)
     return jnp.where(jnp.logical_and(in_annulus, alive), out, zero)

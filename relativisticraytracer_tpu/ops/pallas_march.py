@@ -46,14 +46,15 @@ from relativisticraytracer_tpu.render.postfx import (
 )
 from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
 
-# Default tile: 4 sublane groups x 2 lane groups of the f32 (8, 128) vreg.
-# Small enough for early-exit coherence, large enough to amortize loop
-# control. Tunable via RenderSettings in the wrapper below.
-TILE_H = 32
-TILE_W = 256
+# Default tile, chosen by a 1080p sweep on a v5e chip: (16, 128) pixel
+# tiles (2 f32 vregs per plane) with 8-step unrolling won on early-exit
+# coherence; blocks >=32KB hit a VMEM-spill cliff inside the while body.
+TILE_H = 16
+TILE_W = 128
+UNROLL = 8
 
 
-def _march_tile_kernel(scene: SceneConfig, max_steps: int,
+def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
                        time_ref,
                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
@@ -86,7 +87,12 @@ def _march_tile_kernel(scene: SceneConfig, max_steps: int,
 
     def body(carry):
         i, st = unpack(carry)
-        return pack(i + 1, march_step(scene, st, t, media_cond=True))
+        # Unrolled steps amortize the exit check; finished rays are masked
+        # no-ops, so overshooting the all-done point by <unroll steps is
+        # exact. `unroll` divides max_steps (enforced by the wrapper).
+        for _ in range(unroll):
+            st = march_step(scene, st, t, media_cond=True)
+        return pack(i + unroll, st)
 
     _, state = unpack(
         jax.lax.while_loop(cond, body, pack(jnp.int32(0), state))
@@ -106,8 +112,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _largest_divisor_at_most(n: int, k: int) -> int:
+    k = max(1, min(k, n))
+    for c in range(k, 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scene", "max_steps", "tile_h", "tile_w")
+    jax.jit, static_argnames=("scene", "max_steps", "tile_h", "tile_w", "unroll")
 )
 def march_pallas(
     scene: SceneConfig,
@@ -117,6 +131,7 @@ def march_pallas(
     max_steps: int,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
+    unroll: int = UNROLL,
 ):
     """March all rays with the fused tile kernel.
 
@@ -139,7 +154,8 @@ def march_pallas(
     )
     out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
 
-    kernel = functools.partial(_march_tile_kernel, scene, max_steps)
+    unroll = _largest_divisor_at_most(max_steps, unroll)
+    kernel = functools.partial(_march_tile_kernel, scene, max_steps, unroll)
 
     # Rough cost model: ~70% of rays escape after a few hundred vacuum steps,
     # photon-ring tiles run to the cap. Informs XLA's scheduler only.

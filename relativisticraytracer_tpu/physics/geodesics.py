@@ -15,6 +15,7 @@ even in masked-off lanes (keeps `jax_debug_nans` clean).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from relativisticraytracer_tpu.config import SceneConfig
@@ -29,17 +30,23 @@ def geodesic_acc(scene: SceneConfig, p_rel: Vec3, v: Vec3) -> Vec3:
     r < Rs/2."""
     eh = scene.event_horizon
     r2 = dot(p_rel, p_rel)
-    r = jnp.sqrt(r2)
-    inside = r < eh * 0.5
+    inside = r2 < (eh * 0.5) * (eh * 0.5)
 
-    # L = p x v;  radial term -1.5 * Rs * |L|^2 / r^5 * p
+    # L = p x v;  radial term -1.5 * Rs * |L|^2 / r^5 * p.
+    # 1/r^5 via a single rsqrt + multiplies: one hardware op instead of
+    # sqrt + divide — this runs 4x per RK4 step, the hottest site in the
+    # whole framework (2-ulp deviation, far inside the march's f32 drift).
     lx = p_rel.y * v.z - p_rel.z * v.y
     ly = p_rel.z * v.x - p_rel.x * v.z
     lz = p_rel.x * v.y - p_rel.y * v.x
     l2 = lx * lx + ly * ly + lz * lz
-    denom = jnp.maximum(r2 * r2 * r, _TINY)
-    radial_mag = -1.5 * eh * l2 / denom
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, _TINY))
+    inv_r2 = inv_r * inv_r
+    inv_r5 = inv_r2 * inv_r2 * inv_r
+    radial_mag = -1.5 * eh * l2 * inv_r5
 
+    # Fold the inside-guard into the scalar magnitude (1 select, not 3).
+    radial_mag = jnp.where(inside, jnp.zeros_like(r2), radial_mag)
     ax = p_rel.x * radial_mag
     ay = p_rel.y * radial_mag
     az = p_rel.z * radial_mag
@@ -50,17 +57,13 @@ def geodesic_acc(scene: SceneConfig, p_rel: Vec3, v: Vec3) -> Vec3:
         dx = sy * p_rel.z - sz * p_rel.y
         dy = sz * p_rel.x - sx * p_rel.z
         dz = sx * p_rel.y - sy * p_rel.x
-        strength = (2.0 * scene.spin_a * eh) / jnp.maximum(r2 * r, _TINY)
+        strength = (2.0 * scene.spin_a * eh) * (inv_r2 * inv_r)
+        strength = jnp.where(inside, jnp.zeros_like(r2), strength)
         ax = ax + dx * strength
         ay = ay + dy * strength
         az = az + dz * strength
 
-    zero = jnp.zeros_like(r)
-    return Vec3(
-        jnp.where(inside, zero, ax),
-        jnp.where(inside, zero, ay),
-        jnp.where(inside, zero, az),
-    )
+    return Vec3(ax, ay, az)
 
 
 def redshift_factor(scene: SceneConfig, p_rel: Vec3, ray_vel: Vec3) -> jnp.ndarray:

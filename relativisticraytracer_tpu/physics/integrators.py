@@ -10,19 +10,23 @@ from __future__ import annotations
 from typing import Tuple
 
 from relativisticraytracer_tpu.config import SceneConfig
-from relativisticraytracer_tpu.core.vecmath import Vec3, vec3
+from relativisticraytracer_tpu.core.vecmath import Vec3
 from relativisticraytracer_tpu.physics.geodesics import geodesic_acc
 
 
-def _mass_pos(scene: SceneConfig) -> Vec3:
-    return vec3(*scene.mass_pos)
+def _recenter(scene: SceneConfig, p: Vec3) -> Vec3:
+    """p - MASS_POS; folded out entirely for the (0,0,0) default (x - 0 == x
+    bitwise), saving 12 subs per RK4 step in the hot loop."""
+    mp = scene.mass_pos
+    if mp == (0.0, 0.0, 0.0):
+        return p
+    return Vec3(p.x - mp[0], p.y - mp[1], p.z - mp[2])
 
 
 def euler_step(scene: SceneConfig, p: Vec3, v: Vec3, h) -> Tuple[Vec3, Vec3]:
     """1st-order Euler (reference: integrators.h:12-18; defined but unused
     by the reference kernel — kept for API parity and testing)."""
-    mp = _mass_pos(scene)
-    rel_p = p - mp
+    rel_p = _recenter(scene, p)
     acc = geodesic_acc(scene, rel_p, v)
     return p + v * h, v + acc * h
 
@@ -30,26 +34,26 @@ def euler_step(scene: SceneConfig, p: Vec3, v: Vec3, h) -> Tuple[Vec3, Vec3]:
 def rk4_step(scene: SceneConfig, p: Vec3, v: Vec3, h) -> Tuple[Vec3, Vec3]:
     """Classic RK4 on the coupled (position, velocity) ODE
     (reference: integrators.h:23-59). Each stage re-centers by MASS_POS."""
-    mp = _mass_pos(scene)
     p0, v0 = p, v
 
     # k1
-    kv1 = geodesic_acc(scene, p0 - mp, v0)
+    kv1 = geodesic_acc(scene, _recenter(scene, p0), v0)
     kp1 = v0
 
     # k2
-    v2 = v0 + kv1 * (h * 0.5)
-    kv2 = geodesic_acc(scene, (p0 + kp1 * (h * 0.5)) - mp, v2)
+    h_half = h * 0.5
+    v2 = v0 + kv1 * h_half
+    kv2 = geodesic_acc(scene, _recenter(scene, p0 + kp1 * h_half), v2)
     kp2 = v2
 
     # k3
-    v3 = v0 + kv2 * (h * 0.5)
-    kv3 = geodesic_acc(scene, (p0 + kp2 * (h * 0.5)) - mp, v3)
+    v3 = v0 + kv2 * h_half
+    kv3 = geodesic_acc(scene, _recenter(scene, p0 + kp2 * h_half), v3)
     kp3 = v3
 
     # k4
     v4 = v0 + kv3 * h
-    kv4 = geodesic_acc(scene, (p0 + kp3 * h) - mp, v4)
+    kv4 = geodesic_acc(scene, _recenter(scene, p0 + kp3 * h), v4)
     kp4 = v4
 
     # Final combination: k1 + 2 k2 + 2 k3 + k4, scaled by h/6

@@ -36,10 +36,13 @@ import jax.numpy as jnp
 
 from relativisticraytracer_tpu.config import SceneConfig
 from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
+from relativisticraytracer_tpu.media import densities as densities_mod
 from relativisticraytracer_tpu.media.densities import (
-    accretion_density,
+    accretion_envelope,
+    accretion_streaks,
     disk_temperature,
-    dust_cloud_density,
+    dust_base,
+    dust_strands,
 )
 from relativisticraytracer_tpu.physics.geodesics import redshift_factor
 from relativisticraytracer_tpu.physics.integrators import rk4_step
@@ -75,44 +78,121 @@ def _select_vec(mask, a: Vec3, b: Vec3) -> Vec3:
     return Vec3(_select(mask, a.x, b.x), _select(mask, a.y, b.y), _select(mask, a.z, b.z))
 
 
-def _media_contribution(scene: SceneConfig, rel: Vec3, r, v_new: Vec3,
-                        in_disk_zone, in_cloud_zone, time):
-    """Per-step emission/opacity (raymarcher.cu:67-105). `rel`/`r` are the
-    PRE-step position; `v_new` is the POST-step velocity."""
-    zero = jnp.zeros_like(r)
+def media_probes(scene: SceneConfig, rel: Vec3, in_disk_zone, in_cloud_zone,
+                 active):
+    """~10-op per-ray masks that are False wherever the media provably
+    cannot pass the 0.001 emission gate (see densities.disk_probe_bounds /
+    cloud_probe_bounds). Skipping steps where no ray probes True is exact."""
+    r_cyl2 = rel.x * rel.x + rel.z * rel.z
+    abs_y = jnp.abs(rel.y)
+    probe_disk = probe_cloud = None
+    if scene.enable_disk:
+        yb, rlo2, rhi2 = densities_mod.disk_probe_bounds(scene)
+        probe_disk = jnp.logical_and(
+            jnp.logical_and(active, in_disk_zone),
+            jnp.logical_and(
+                abs_y < yb,
+                jnp.logical_and(r_cyl2 >= rlo2, r_cyl2 <= rhi2),
+            ),
+        )
+    if scene.enable_clouds:
+        yb, rlo2, rhi2 = densities_mod.cloud_probe_bounds(scene)
+        probe_cloud = jnp.logical_and(
+            jnp.logical_and(active, in_cloud_zone),
+            jnp.logical_and(
+                abs_y < yb,
+                jnp.logical_and(r_cyl2 >= rlo2, r_cyl2 <= rhi2),
+            ),
+        )
+    return probe_disk, probe_cloud
+
+
+def _media_contribution(scene: SceneConfig, rel: Vec3, r2, v_new: Vec3,
+                        in_disk_zone, in_cloud_zone, time,
+                        disk_pred=None, cloud_pred=None):
+    """Per-step emission/opacity (raymarcher.cu:67-105). `rel`/`r2` are the
+    PRE-step position (and its squared radius; the sqrt happens inside the
+    gated blocks); `v_new` is the POST-step velocity.
+
+    disk_pred/cloud_pred: optional traced scalar bools — when given, each
+    component block (envelope + multi-octave noise + emission) runs under a
+    `lax.cond`, so a Pallas tile whose probe is all-False skips it entirely."""
+    zero = jnp.zeros_like(r2)
     emit_r = zero
     emit_g = zero
     emit_b = zero
     opacity = zero
 
-    # g is computed identically for both media (raymarcher.cu:77,92).
-    g = redshift_factor(scene, rel, v_new)
-
     if scene.enable_disk:
-        d_disk = jnp.where(in_disk_zone, accretion_density(scene, rel, time), zero)
-        lit = d_disk > 0.001
-        temp = disk_temperature(scene, r)
-        t_ratio = temp / scene.disk_temp_ref
-        t_norm = t_ratio ** 0.5
-        bol_i = g ** 4.0 * t_norm * d_disk * scene.disk_luminosity
-        color_t = g * t_ratio ** 0.4 * 2.5
-        emit_r = emit_r + _select(lit, 1.0 * bol_i, zero)
-        emit_g = emit_g + _select(lit, jnp.minimum(0.25, 0.12 * color_t) * bol_i, zero)
-        emit_b = emit_b + _select(lit, jnp.maximum(0.0, 0.01 * (color_t - 2.0)) * bol_i, zero)
-        opacity = opacity + _select(lit, d_disk * scene.disk_opacity, zero)
+        def disk_block(emit_r, emit_g, emit_b, opacity):
+            envelope, in_annulus, r_cyl, safe_r = accretion_envelope(scene, rel)
+            disk_gate = jnp.logical_and(in_disk_zone, in_annulus)
+            d_disk = jnp.where(
+                disk_gate,
+                envelope * accretion_streaks(scene, rel, r_cyl, safe_r, time),
+                zero,
+            )
+            lit = d_disk > 0.001
+            # g with the post-step velocity (raymarcher.cu:77)
+            g = redshift_factor(scene, rel, v_new)
+            temp = disk_temperature(scene, jnp.sqrt(r2))
+            t_ratio = temp / scene.disk_temp_ref
+            t_norm = t_ratio ** 0.5
+            bol_i = g ** 4.0 * t_norm * d_disk * scene.disk_luminosity
+            color_t = g * t_ratio ** 0.4 * 2.5
+            emit_r = emit_r + _select(lit, 1.0 * bol_i, zero)
+            emit_g = emit_g + _select(lit, jnp.minimum(0.25, 0.12 * color_t) * bol_i, zero)
+            emit_b = emit_b + _select(
+                lit, jnp.maximum(0.0, 0.01 * (color_t - 2.0)) * bol_i, zero
+            )
+            opacity = opacity + _select(lit, d_disk * scene.disk_opacity, zero)
+            return emit_r, emit_g, emit_b, opacity
+
+        if disk_pred is not None:
+            emit_r, emit_g, emit_b, opacity = jax.lax.cond(
+                disk_pred, disk_block,
+                lambda *xs: xs, emit_r, emit_g, emit_b, opacity,
+            )
+        else:
+            emit_r, emit_g, emit_b, opacity = disk_block(
+                emit_r, emit_g, emit_b, opacity
+            )
 
     if scene.enable_clouds:
-        d_cloud = jnp.where(in_cloud_zone, dust_cloud_density(scene, rel, time), zero)
-        lit = d_cloud > 0.001
-        lighting = 0.5 + 3.0 * (scene.isco_radius / jnp.maximum(r, scene.isco_radius)) ** 1.2
-        cloud_i = d_cloud * scene.cloud_luminosity * lighting
-        # redshift color grading (raymarcher.cu:96-102)
-        t = jnp.clip((g - 0.7) / (1.3 - 0.7), 0.0, 1.0)
-        shift = t * t * (3.0 - 2.0 * t)
-        emit_r = emit_r + _select(lit, 0.60 * cloud_i * (1.2 + shift * (0.8 - 1.2)), zero)
-        emit_g = emit_g + _select(lit, 0.65 * cloud_i * (0.8 + shift * (1.1 - 0.8)), zero)
-        emit_b = emit_b + _select(lit, 0.80 * cloud_i * (0.6 + shift * (1.4 - 0.6)), zero)
-        opacity = opacity + _select(lit, d_cloud * scene.cloud_opacity, zero)
+        def cloud_block(emit_r, emit_g, emit_b, opacity):
+            base, in_annulus_c, alive, r_cyl_c, safe_r_c = dust_base(scene, rel)
+            cloud_gate = jnp.logical_and(
+                in_cloud_zone, jnp.logical_and(in_annulus_c, alive)
+            )
+            d_cloud = jnp.where(
+                cloud_gate,
+                base * dust_strands(scene, rel, r_cyl_c, safe_r_c, time),
+                zero,
+            )
+            lit = d_cloud > 0.001
+            g = redshift_factor(scene, rel, v_new)  # recomputed, as in cu:92
+            lighting = 0.5 + 3.0 * (
+                scene.isco_radius / jnp.maximum(jnp.sqrt(r2), scene.isco_radius)
+            ) ** 1.2
+            cloud_i = d_cloud * scene.cloud_luminosity * lighting
+            # redshift color grading (raymarcher.cu:96-102)
+            t = jnp.clip((g - 0.7) / (1.3 - 0.7), 0.0, 1.0)
+            shift = t * t * (3.0 - 2.0 * t)
+            emit_r = emit_r + _select(lit, 0.60 * cloud_i * (1.2 + shift * (0.8 - 1.2)), zero)
+            emit_g = emit_g + _select(lit, 0.65 * cloud_i * (0.8 + shift * (1.1 - 0.8)), zero)
+            emit_b = emit_b + _select(lit, 0.80 * cloud_i * (0.6 + shift * (1.4 - 0.6)), zero)
+            opacity = opacity + _select(lit, d_cloud * scene.cloud_opacity, zero)
+            return emit_r, emit_g, emit_b, opacity
+
+        if cloud_pred is not None:
+            emit_r, emit_g, emit_b, opacity = jax.lax.cond(
+                cloud_pred, cloud_block,
+                lambda *xs: xs, emit_r, emit_g, emit_b, opacity,
+            )
+        else:
+            emit_r, emit_g, emit_b, opacity = cloud_block(
+                emit_r, emit_g, emit_b, opacity
+            )
 
     return Vec3(emit_r, emit_g, emit_b), opacity
 
@@ -129,33 +209,40 @@ def march_step(scene: SceneConfig, state: MarchState, time,
     eh = scene.event_horizon
     mp = scene.mass_pos
 
-    rel = Vec3(p.x - mp[0], p.y - mp[1], p.z - mp[2])
-    r = jnp.sqrt(rel.x * rel.x + rel.y * rel.y + rel.z * rel.z)
+    if mp == (0.0, 0.0, 0.0):
+        rel = p  # x - 0 == x bitwise; skip 3 subs in the hot loop
+    else:
+        rel = Vec3(p.x - mp[0], p.y - mp[1], p.z - mp[2])
+    r2 = rel.x * rel.x + rel.y * rel.y + rel.z * rel.z
+    # All radius tests compare r^2 against squared thresholds (both sides
+    # non-negative; differs from sqrt-then-compare only in a 1-ulp boundary
+    # band), deferring the sqrt to the media blocks that actually need r.
 
     # 1. horizon capture (raymarcher.cu:47-51) — BEFORE stepping, so captured
     # rays keep their pre-step velocity for the (black) background.
-    hit_now = jnp.logical_and(active, r < eh * 1.01)
+    hit_now = jnp.logical_and(active, r2 < (eh * 1.01) ** 2)
     hit = jnp.logical_or(hit, hit_now)
     trans = _select(hit_now, jnp.zeros_like(trans), trans)
     active = jnp.logical_and(active, jnp.logical_not(hit_now))
 
     # 2. adaptive step size from PRE-step zone flags (raymarcher.cu:54-62)
-    near_bh = r < 18.0
+    near_bh = r2 < 18.0 ** 2
     abs_y = jnp.abs(rel.y)
     in_disk_zone = jnp.logical_and(
-        abs_y < scene.disk_h_m * 5.0, r < scene.disk_out_m + 5.0
+        abs_y < scene.disk_h_m * 5.0, r2 < (scene.disk_out_m + 5.0) ** 2
     )
     in_cloud_zone = jnp.logical_and(
-        abs_y < scene.cloud_h_m * 1.5, r < scene.cloud_out_m
+        abs_y < scene.cloud_h_m * 1.5, r2 < scene.cloud_out_m ** 2
     )
     h = scene.step_size_m * jnp.where(
         near_bh, 0.1, jnp.where(in_disk_zone, 0.3, jnp.where(in_cloud_zone, 0.5, 1.0))
     )
+    # Freeze finished rays by stepping them with h = 0 (p + 0 == p bitwise):
+    # cheaper than 6 per-component selects after the step.
+    h = jnp.where(active, h, 0.0)
 
-    # 3. RK4 (raymarcher.cu:64) — frozen for finished rays
-    p_new, v_new = rk4_step(scene, p, v, h)
-    p = _select_vec(active, p_new, p)
-    v = _select_vec(active, v_new, v)
+    # 3. RK4 (raymarcher.cu:64)
+    p, v = rk4_step(scene, p, v, h)
 
     # 4. radiative transfer (raymarcher.cu:67-117): PRE-step position,
     # POST-step velocity
@@ -164,35 +251,51 @@ def march_step(scene: SceneConfig, state: MarchState, time,
             active, jnp.logical_or(in_disk_zone, in_cloud_zone)
         )
 
-        def do_media(intensity, trans):
-            emit, opacity = _media_contribution(
-                scene, rel, r, v, in_disk_zone, in_cloud_zone, time
-            )
+        def compose(intensity, trans, ex, ey, ez, opacity):
+            # front-to-back emission/absorption (raymarcher.cu:107-115)
             d_tau = opacity * h
             step_trans = jnp.exp(-d_tau)
             factor = (1.0 - step_trans) * trans
             intensity = Vec3(
-                intensity.x + _select(in_media, emit.x * factor, 0.0),
-                intensity.y + _select(in_media, emit.y * factor, 0.0),
-                intensity.z + _select(in_media, emit.z * factor, 0.0),
+                intensity.x + _select(in_media, ex * factor, 0.0),
+                intensity.y + _select(in_media, ey * factor, 0.0),
+                intensity.z + _select(in_media, ez * factor, 0.0),
             )
             trans = _select(in_media, trans * step_trans, trans)
             return intensity, trans
 
         if media_cond:
+            probe_disk, probe_cloud = media_probes(
+                scene, rel, in_disk_zone, in_cloud_zone, active
+            )
+            preds = [jnp.any(p) for p in (probe_disk, probe_cloud) if p is not None]
+            any_pred = preds[0]
+            for extra in preds[1:]:
+                any_pred = jnp.logical_or(any_pred, extra)
+            emit, opacity = _media_contribution(
+                scene, rel, r2, v, in_disk_zone, in_cloud_zone, time,
+                disk_pred=jnp.any(probe_disk) if probe_disk is not None else None,
+                cloud_pred=jnp.any(probe_cloud) if probe_cloud is not None else None,
+            )
             intensity, trans = jax.lax.cond(
-                jnp.any(in_media),
-                do_media,
-                lambda intensity, trans: (intensity, trans),
-                intensity, trans,
+                any_pred, compose,
+                lambda intensity, trans, *_: (intensity, trans),
+                intensity, trans, emit.x, emit.y, emit.z, opacity,
             )
         else:
-            intensity, trans = do_media(intensity, trans)
+            emit, opacity = _media_contribution(
+                scene, rel, r2, v, in_disk_zone, in_cloud_zone, time
+            )
+            intensity, trans = compose(
+                intensity, trans, emit.x, emit.y, emit.z, opacity
+            )
 
     # 5. escape to infinity (raymarcher.cu:120) — POST-step velocity,
     # PRE-step position
     outward = rel.x * v.x + rel.y * v.y + rel.z * v.z > 0.0
-    escaped = jnp.logical_and(active, jnp.logical_and(r > scene.escape_radius, outward))
+    escaped = jnp.logical_and(
+        active, jnp.logical_and(r2 > scene.escape_radius ** 2, outward)
+    )
     active = jnp.logical_and(active, jnp.logical_not(escaped))
 
     return MarchState(p, v, intensity, trans, hit, active)

@@ -1,0 +1,211 @@
+"""Host application runtime: the TPU-native replacement for the reference's
+GLFW/OpenGL main loop (src/main.cpp:482-539).
+
+There is no window on a TPU host; the interactive surface is a headless
+`Session` with the exact same controls and clock semantics (key handling
+per key_callback main.cpp:270-306, fixed-step recording clock per
+main.cpp:505-529), plus an offline `AnimationJob` that renders a camera
+path to video — frame-indexed and resumable (every frame is a pure
+function of (path, frame_index), SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import pathlib
+import time as _time
+from typing import Callable, Optional
+
+import numpy as np
+
+from relativisticraytracer_tpu.config import (
+    RECORDING_FPS,
+    CameraEffects,
+    RenderSettings,
+    SceneConfig,
+)
+from relativisticraytracer_tpu.io.video import VideoRecorder
+from relativisticraytracer_tpu.paths import (
+    CameraController,
+    CameraPath,
+    PathController,
+    PathManager,
+    init_default_paths,
+    interpolate_path,
+)
+from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+from relativisticraytracer_tpu.render.pipeline import Renderer
+
+log = logging.getLogger("relativisticraytracer_tpu")
+
+
+class Session:
+    """Headless interactive session: fly camera + paths + effects + recorder
+    wired exactly like the reference app (minus the OS window).
+
+    handle_key: 'r' record toggle, 'p' path toggle, 'n' next path,
+    'b'/'v'/'l'/'c' effect toggles (main.cpp:270-306);
+    'w','a','s','d','space','shift' move the fly camera (main.cpp:329-357).
+    """
+
+    def __init__(self, renderer: Optional[Renderer] = None,
+                 scene: SceneConfig = SceneConfig(),
+                 settings: RenderSettings = RenderSettings(),
+                 skybox_rgba: Optional[np.ndarray] = None):
+        self.renderer = renderer or Renderer(scene, settings, skybox_rgba=skybox_rgba)
+        self.camera = CameraController()
+        self.paths = PathController(manager=init_default_paths(PathManager()))
+        self.effects = CameraEffects()
+        self.recorder = VideoRecorder(
+            self.renderer.settings.width, self.renderer.settings.height
+        )
+        self.sim_time = 0.0
+        self.frame_count = 0
+        self._fps_clock = _time.perf_counter()
+        self._fps_frames = 0
+        self.fps = 0.0
+
+    # --- input (key_callback, main.cpp:270-306) ---
+    def handle_key(self, key: str) -> None:
+        key = key.lower()
+        if key == "r":
+            self.recorder.toggle()
+        elif key == "p":
+            if self.paths.active:
+                self.paths.stop()
+            else:
+                self.paths.start()
+        elif key == "n":
+            self.paths.next_path()
+        elif key == "b":
+            on = float(self.effects.use_bloom) <= 0.5
+            self.effects = self.effects.replace(use_bloom=1.0 if on else 0.0)
+        elif key == "v":
+            on = float(self.effects.use_vignette) <= 0.5
+            self.effects = self.effects.replace(use_vignette=1.0 if on else 0.0)
+        elif key == "l":
+            on = float(self.effects.use_lens_distortion) <= 0.5
+            self.effects = self.effects.replace(
+                use_lens_distortion=1.0 if on else 0.0
+            )
+        elif key == "c":
+            on = float(self.effects.use_chromatic_aberration) <= 0.5
+            self.effects = self.effects.replace(
+                use_chromatic_aberration=1.0 if on else 0.0
+            )
+        elif key in ("w", "a", "s", "d", "space", "shift"):
+            self.camera.move(key)
+
+    def mouse(self, dx: float, dy: float) -> None:
+        self.camera.look(dx, dy)
+
+    # --- frame loop (main.cpp:505-529) ---
+    def tick(self, wall_dt: float) -> np.ndarray:
+        """Advance the sim clock and render one frame. While recording, dt is
+        pinned to 1/RECORDING_FPS (main.cpp:511-513)."""
+        dt = 1.0 / RECORDING_FPS if self.recorder.is_recording else wall_dt
+        self.sim_time += dt
+        self.paths.update(dt)
+        cam = (
+            self.paths.interpolated_state(self.camera)
+            if self.paths.active
+            else self.camera.state()
+        )
+        frame = self.renderer.render_np(cam, self.effects, self.sim_time)
+        if self.recorder.is_recording:
+            self.recorder.capture(frame)
+        self.frame_count += 1
+        self._fps_frames += 1
+        now = _time.perf_counter()
+        if now - self._fps_clock >= 1.0:  # 1 Hz meter (updateFPS, main.cpp:438-458)
+            self.fps = self._fps_frames / (now - self._fps_clock)
+            self._fps_clock = now
+            self._fps_frames = 0
+        return frame
+
+    def status(self) -> str:
+        """The reference's title-bar line (main.cpp:452-453)."""
+        rec = " [REC]" if self.recorder.is_recording else ""
+        pth = " [PATH]" if self.paths.active else ""
+        path = self.paths.manager.get_path(self.paths.current_path_index)
+        name = path.name if path else "None"
+        return (
+            f"Relativistic Ray Tracer | FPS: {self.fps:.1f} |{rec}{pth} "
+            f"{name} | R:Rec P:Path N:Next"
+        )
+
+    def close(self) -> None:
+        self.recorder.stop()
+
+
+@dataclasses.dataclass
+class AnimationJob:
+    """Offline path-to-video render with checkpoint/resume.
+
+    Frames are indexed on the fixed-step clock (frame k <-> t = k/fps), so a
+    killed job resumes at the first unwritten frame (raw-file sink appends;
+    an MP4 sink re-encodes from the rendered frame stream start).
+    """
+
+    path: CameraPath
+    renderer: Renderer
+    effects: CameraEffects = dataclasses.field(default_factory=CameraEffects)
+    fps: int = RECORDING_FPS
+    duration: Optional[float] = None  # default: last keyframe time
+    out_path: Optional[str] = None
+    checkpoint_every: int = 24
+
+    def _checkpoint_path(self, out_path: str) -> pathlib.Path:
+        return pathlib.Path(out_path + ".ckpt.json")
+
+    def total_frames(self) -> int:
+        duration = (
+            self.duration
+            if self.duration is not None
+            else self.path.keyframes[-1].time
+        )
+        return int(round(duration * self.fps))
+
+    def run(self, resume: bool = True,
+            progress: Optional[Callable[[int, int, float], None]] = None) -> dict:
+        settings = self.renderer.settings
+        rec = VideoRecorder(settings.width, settings.height, self.fps,
+                            out_path=self.out_path)
+        out_path = rec.start()
+        ckpt = self._checkpoint_path(out_path)
+
+        start_frame = 0
+        if resume and rec.raw_fallback and ckpt.exists():
+            start_frame = json.loads(ckpt.read_text()).get("next_frame", 0)
+
+        n = self.total_frames()
+        t_start = _time.perf_counter()
+        frame_ms = []
+        for k in range(start_frame, n):
+            t = (k + 1) / self.fps  # clock accumulates BEFORE render (main.cpp:515)
+            pos, yaw, pitch = interpolate_path(self.path, t)
+            cam = camera_state_from_pose(pos, yaw, pitch)
+            f0 = _time.perf_counter()
+            frame = self.renderer.render_np(cam, self.effects, t)
+            frame_ms.append((_time.perf_counter() - f0) * 1000.0)
+            rec.capture(frame)
+            if progress is not None:
+                progress(k + 1, n, frame_ms[-1])
+            if (k + 1) % self.checkpoint_every == 0:
+                ckpt.write_text(json.dumps({"next_frame": k + 1,
+                                            "out_path": out_path}))
+        written = rec.stop()
+        if ckpt.exists():
+            ckpt.unlink()
+        wall = _time.perf_counter() - t_start
+        stats = {
+            "out_path": out_path,
+            "frames": n - start_frame,
+            "frames_written": written,
+            "resumed_at": start_frame,
+            "wall_s": wall,
+            "mean_frame_ms": float(np.mean(frame_ms)) if frame_ms else 0.0,
+        }
+        log.info("animation done: %s", stats)
+        return stats

@@ -1,0 +1,170 @@
+"""IO + host runtime: native frame sink, video recorder, animation job,
+headless session (reference: ScreenRecorder main.cpp:29-124, main loop
+main.cpp:482-539)."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from relativisticraytracer_tpu.config import RenderSettings, SceneConfig
+from relativisticraytracer_tpu.io.image import load_skybox, save_png
+from relativisticraytracer_tpu.io.video import (
+    VideoRecorder,
+    ffmpeg_command,
+    timestamped_filename,
+)
+from relativisticraytracer_tpu.paths import default_paths
+from relativisticraytracer_tpu.render.pipeline import Renderer
+from relativisticraytracer_tpu.render.skybox import procedural_starfield
+from relativisticraytracer_tpu.runtime.app import AnimationJob, Session
+from relativisticraytracer_tpu.runtime.framesink import FrameSink, _load_library
+
+
+def test_native_library_builds_and_loads():
+    lib = _load_library()
+    assert lib is not None, "native framesink failed to build/load"
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_framesink_file_roundtrip(tmp_path, force_python):
+    out = tmp_path / "frames.rgba"
+    frame_bytes = 16 * 8 * 4
+    sink = FrameSink(str(out), frame_bytes, mode="file",
+                     queue_frames=4, force_python=force_python)
+    assert sink.native == (not force_python)
+    frames = [bytes([i] * frame_bytes) for i in range(10)]
+    for f in frames:
+        sink.submit(f)
+    n = sink.close()
+    assert n == 10
+    data = out.read_bytes()
+    assert data == b"".join(frames)  # order preserved, nothing dropped
+
+
+def test_framesink_pipe_roundtrip(tmp_path):
+    out = tmp_path / "piped.bin"
+    sink = FrameSink(f"cat > {out}", 64, mode="pipe", queue_frames=2)
+    for i in range(5):
+        sink.submit(bytes([i]) * 64)
+    assert sink.close() == 5
+    assert len(out.read_bytes()) == 5 * 64
+
+
+def test_framesink_rejects_wrong_size(tmp_path):
+    sink = FrameSink(str(tmp_path / "x.bin"), 64, mode="file")
+    with pytest.raises(ValueError):
+        sink.submit(b"short")
+    sink.close()
+
+
+def test_ffmpeg_command_matches_reference_settings():
+    cmd = ffmpeg_command(1000, 700, 24, "out.mp4")
+    # reference: main.cpp:61-72, minus vflip (our rows are already top-down)
+    for part in ["-f rawvideo", "-pix_fmt rgba", "-s 1000x700", "-r 24",
+                 "-c:v libx264", "-preset fast", "-crf 18",
+                 "-pix_fmt yuv420p", '"out.mp4"']:
+        assert part in cmd
+    assert "vflip" not in cmd
+
+
+def test_timestamped_filename_shape():
+    name = timestamped_filename()
+    assert name.startswith("recording_") and name.endswith(".mp4")
+    assert len(name) == len("recording_20260101_120000.mp4")
+
+
+def test_video_recorder_raw_fallback(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    rec = VideoRecorder(8, 4, out_path=str(tmp_path / "clip.mp4"))
+    path = rec.start()
+    assert path.endswith(".rgba")
+    frame = np.arange(8 * 4 * 4, dtype=np.uint8).reshape(4, 8, 4)
+    rec.capture(frame)
+    rec.capture(frame)
+    assert rec.stop() == 2
+    raw = pathlib.Path(path).read_bytes()
+    assert raw == frame.tobytes() * 2
+    sidecar = json.loads(pathlib.Path(path).with_suffix(".json").read_text())
+    assert "libx264" in sidecar["encode_with"]
+
+
+def _tiny_renderer():
+    scene = SceneConfig(max_steps=24)
+    settings = RenderSettings(width=16, height=12, max_steps=24, chunk=8)
+    return Renderer(scene, settings, skybox_rgba=procedural_starfield(16, 32))
+
+
+def test_animation_job_runs_and_resumes(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    r = _tiny_renderer()
+    path = default_paths()[0]
+    out = str(tmp_path / "anim.rgba")
+    job = AnimationJob(path=path, renderer=r, fps=2, duration=3.0,
+                       out_path=out, checkpoint_every=2)
+    stats = job.run()
+    assert stats["frames"] == 6 and stats["frames_written"] == 6
+    assert stats["resumed_at"] == 0
+    size_full = pathlib.Path(stats["out_path"]).stat().st_size
+    assert size_full == 6 * 16 * 12 * 4
+
+    # simulate an interrupted job: checkpoint says 4 frames done
+    ck = pathlib.Path(stats["out_path"] + ".ckpt.json")
+    ck.write_text(json.dumps({"next_frame": 4, "out_path": stats["out_path"]}))
+    stats2 = job.run(resume=True)
+    assert stats2["resumed_at"] == 4
+    assert stats2["frames"] == 2
+    assert not ck.exists()  # cleared on completion
+
+
+def test_session_controls(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    monkeypatch.chdir(tmp_path)
+    s = Session(renderer=_tiny_renderer())
+    frame = s.tick(0.016)
+    assert frame.shape == (12, 16, 4)
+    # effect toggles flip the pytree flags (no retrace; see pipeline test)
+    assert float(s.effects.use_bloom) == 1.0
+    s.handle_key("b")
+    assert float(s.effects.use_bloom) == 0.0
+    # path toggle + next
+    s.handle_key("p")
+    assert s.paths.active
+    s.handle_key("n")
+    assert s.paths.current_path_index == 1
+    # fixed-step clock while recording
+    s.handle_key("r")
+    assert s.recorder.is_recording
+    t0 = s.sim_time
+    s.tick(12345.0)  # wall dt ignored while recording
+    assert abs(s.sim_time - (t0 + 1.0 / 24)) < 1e-9
+    s.handle_key("r")
+    assert not s.recorder.is_recording
+    # movement quirk: space moves down
+    y0 = float(s.camera.pos[1])
+    s.handle_key("space")
+    assert float(s.camera.pos[1]) < y0
+    assert "Relativistic Ray Tracer" in s.status()
+    s.close()
+
+
+def test_load_skybox_fallback_and_png(tmp_path):
+    sky = load_skybox(None, fallback_shape=(16, 32))
+    assert sky.shape == (16, 32, 4)
+    # write + read back through PIL
+    p = tmp_path / "sub" / "img.png"
+    save_png(str(p), sky)
+    from relativisticraytracer_tpu.io.image import load_image_rgba
+
+    back = load_image_rgba(str(p))
+    np.testing.assert_array_equal(back, sky)
+    # a real image file loads
+    sky2 = load_skybox(str(p))
+    np.testing.assert_array_equal(sky2, sky)
