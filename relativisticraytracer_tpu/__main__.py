@@ -1,0 +1,126 @@
+"""Command-line launcher (the analog of the reference's run.bat + main()).
+
+    python -m relativisticraytracer_tpu still  [--width W --height H ...]
+    python -m relativisticraytracer_tpu anim   [--path-index N --fps 24 ...]
+    python -m relativisticraytracer_tpu paths  # list built-in camera paths
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _add_render_args(p):
+    p.add_argument("--width", type=int, default=1000)    # config.h:7
+    p.add_argument("--height", type=int, default=700)    # config.h:8
+    p.add_argument("--max-steps", type=int, default=2000)
+    p.add_argument("--spin", type=float, default=0.0)
+    p.add_argument("--no-disk", action="store_true")
+    p.add_argument("--no-clouds", action="store_true")
+    p.add_argument("--no-effects", action="store_true")
+    p.add_argument("--skybox", type=str, default=None,
+                   help="equirect image path (procedural starfield if omitted)")
+    p.add_argument("--loop", default=None, choices=["while", "scan", "pallas"],
+                   help="march strategy (default: pallas on TPU, while otherwise)")
+    p.add_argument("--time", type=float, default=1.0)
+
+
+def _build_renderer(args):
+    import jax
+
+    from relativisticraytracer_tpu.config import RenderSettings, SceneConfig
+    from relativisticraytracer_tpu.io.image import load_skybox
+    from relativisticraytracer_tpu.render.pipeline import Renderer
+
+    loop = args.loop or (
+        "pallas" if jax.devices()[0].platform == "tpu" else "while"
+    )
+    scene = SceneConfig(
+        spin_a=args.spin,
+        max_steps=args.max_steps,
+        enable_disk=not args.no_disk,
+        enable_clouds=not args.no_clouds,
+    )
+    settings = RenderSettings(
+        width=args.width, height=args.height, max_steps=args.max_steps, loop=loop
+    )
+    return Renderer(scene, settings, skybox_rgba=load_skybox(args.skybox))
+
+
+def cmd_still(args):
+    from relativisticraytracer_tpu.config import CameraEffects, effects_off
+    from relativisticraytracer_tpu.io.image import save_png
+    from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+
+    r = _build_renderer(args)
+    cam = camera_state_from_pose(
+        (args.cam_x, args.cam_y, args.cam_z), args.yaw, args.pitch
+    )
+    effects = effects_off() if args.no_effects else CameraEffects()
+    frame = r.render_np(cam, effects, args.time)
+    save_png(args.out, frame)
+    print(f"wrote {args.out} ({args.width}x{args.height})")
+
+
+def cmd_anim(args):
+    from relativisticraytracer_tpu.config import CameraEffects, effects_off
+    from relativisticraytracer_tpu.paths import default_paths
+    from relativisticraytracer_tpu.runtime.app import AnimationJob
+
+    r = _build_renderer(args)
+    paths = default_paths()
+    path = paths[args.path_index % len(paths)]
+    effects = effects_off() if args.no_effects else CameraEffects()
+    job = AnimationJob(
+        path=path, renderer=r, effects=effects, fps=args.fps,
+        duration=args.duration, out_path=args.out,
+    )
+    print(f"rendering '{path.name}': {job.total_frames()} frames "
+          f"@ {args.width}x{args.height}")
+    stats = job.run(progress=lambda k, n, ms: print(
+        f"\r  frame {k}/{n} ({ms:.0f} ms)", end="", flush=True))
+    print(f"\n{stats}")
+
+
+def cmd_paths(_args):
+    from relativisticraytracer_tpu.paths import default_paths
+
+    for i, p in enumerate(default_paths()):
+        dur = p.keyframes[-1].time
+        print(f"[{i}] {p.name}: {len(p.keyframes)} keyframes, {dur:.0f}s")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    ap = argparse.ArgumentParser(prog="relativisticraytracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_still = sub.add_parser("still", help="render a single frame to PNG")
+    _add_render_args(p_still)
+    p_still.add_argument("--out", default="frame.png")
+    p_still.add_argument("--cam-x", type=float, default=0.0)
+    p_still.add_argument("--cam-y", type=float, default=10.0)
+    p_still.add_argument("--cam-z", type=float, default=-60.0)
+    p_still.add_argument("--yaw", type=float, default=0.0)
+    p_still.add_argument("--pitch", type=float, default=-10.0)
+    p_still.set_defaults(fn=cmd_still)
+
+    p_anim = sub.add_parser("anim", help="render a camera path to video")
+    _add_render_args(p_anim)
+    p_anim.add_argument("--path-index", type=int, default=0)
+    p_anim.add_argument("--fps", type=int, default=24)
+    p_anim.add_argument("--duration", type=float, default=None)
+    p_anim.add_argument("--out", default=None)
+    p_anim.set_defaults(fn=cmd_anim)
+
+    p_paths = sub.add_parser("paths", help="list built-in camera paths")
+    p_paths.set_defaults(fn=cmd_paths)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,11 +46,14 @@ from relativisticraytracer_tpu.render.postfx import (
 )
 from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
 
-# Default tile, chosen by a 1080p sweep on a v5e chip: (16, 128) pixel
-# tiles (2 f32 vregs per plane) with 8-step unrolling won on early-exit
-# coherence; blocks >=32KB hit a VMEM-spill cliff inside the while body.
-TILE_H = 16
-TILE_W = 128
+# Default IMAGE-SPACE block: each kernel invocation owns a compact
+# (BLOCK_H, BLOCK_W) pixel rectangle, laid out as a (BLOCK_H*BLOCK_W/128,
+# 128) lane tile via a cheap reshape/transpose outside the kernel. Compact
+# blocks terminate coherently (all rays see similar geometry), unlike raw
+# 128-wide row slivers; >=32KB lane tiles hit a VMEM-spill cliff inside the
+# while body. Defaults from a 1080p sweep on a v5e chip.
+BLOCK_H = 32
+BLOCK_W = 128
 UNROLL = 8
 
 
@@ -120,8 +123,25 @@ def _largest_divisor_at_most(n: int, k: int) -> int:
     return 1
 
 
+def _to_lane_tiles(a, bh: int, bw: int):
+    """(H, W) plane -> (num_blocks * bh*bw/128, 128) lane layout where each
+    consecutive group of bh*bw/128 rows is one compact image block. Pure
+    reshape/transpose (fast HBM copies, no gathers)."""
+    h, w = a.shape
+    blocks = a.reshape(h // bh, bh, w // bw, bw).transpose(0, 2, 1, 3)
+    return blocks.reshape(-1, 128)
+
+
+def _from_lane_tiles(a, h: int, w: int, bh: int, bw: int):
+    blocks = a.reshape(h // bh, w // bw, bh, bw)
+    return blocks.transpose(0, 2, 1, 3).reshape(h, w)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scene", "max_steps", "tile_h", "tile_w", "unroll")
+    jax.jit,
+    static_argnames=(
+        "scene", "max_steps", "block_h", "block_w", "unroll", "interpret"
+    ),
 )
 def march_pallas(
     scene: SceneConfig,
@@ -129,30 +149,36 @@ def march_pallas(
     direction: Vec3,
     time,
     max_steps: int,
-    tile_h: int = TILE_H,
-    tile_w: int = TILE_W,
+    block_h: int = BLOCK_H,
+    block_w: int = BLOCK_W,
     unroll: int = UNROLL,
+    interpret: bool = False,
 ):
     """March all rays with the fused tile kernel.
 
     origin/direction: (H, W) planes. Returns (intensity Vec3,
     transmittance, hit_horizon bool, final velocity Vec3), each (H, W).
     """
+    if (block_h * block_w) % 128:
+        raise ValueError("block_h*block_w must be a multiple of 128")
     h, w = origin.x.shape
-    hp, wp = _round_up(h, tile_h), _round_up(w, tile_w)
+    hp, wp = _round_up(h, block_h), _round_up(w, block_w)
 
-    def pad(a):
-        return jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
+    def prep(a):
+        return _to_lane_tiles(
+            jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge"), block_h, block_w
+        )
 
-    planes = [pad(a) for a in (origin.x, origin.y, origin.z,
-                               direction.x, direction.y, direction.z)]
+    planes = [prep(a) for a in (origin.x, origin.y, origin.z,
+                                direction.x, direction.y, direction.z)]
     time_arr = jnp.asarray([time], dtype=jnp.float32)
 
-    grid = (hp // tile_h, wp // tile_w)
+    tile_rows = (block_h * block_w) // 128
+    num_blocks = (hp // block_h) * (wp // block_w)
     tile_spec = pl.BlockSpec(
-        (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
 
     unroll = _largest_divisor_at_most(max_steps, unroll)
     kernel = functools.partial(_march_tile_kernel, scene, max_steps, unroll)
@@ -168,19 +194,23 @@ def march_pallas(
 
     outs = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(num_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # time (1,)
         ] + [tile_spec] * 6,
         out_specs=[tile_spec] * 8,
         out_shape=[out_shape] * 8,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=cost,
+        interpret=interpret,
     )(time_arr, *planes)
 
-    ir, ig, ib, tr, hit, vx, vy, vz = [o[:h, :w] for o in outs]
+    def post(a):
+        return _from_lane_tiles(a, hp, wp, block_h, block_w)[:h, :w]
+
+    ir, ig, ib, tr, hit, vx, vy, vz = [post(o) for o in outs]
     return (
         Vec3(ir, ig, ib),
         tr,

@@ -6,35 +6,39 @@ normalized coordinates (reference: src/main.cpp:250-263) — and samples it
 with phi/theta mapping plus optional chromatic-aberration phi offsets
 (reference: src/raymarcher.cu:128-146).
 
-TPUs have no texture units: this module is the hand-written equivalent —
-a batched 4-tap bilinear gather over an HBM-resident uint8 texture, with
-CUDA's texel addressing (half-texel centers: sample at u*W - 0.5) and
-border modes reproduced exactly.
+TPUs have no texture units and XLA gathers cost ~20 ns/element (serial), so
+the texture is stored as ONE uint32 plane with R|G<<8|B<<16 packed per
+texel: a full bilinear RGB sample is exactly 4 gathered elements (the
+hardware minimum for 4 taps), with channel unpack + filtering as cheap VPU
+math. The chromatic-aberration R/B resamples (3x the gathers) run under a
+`lax.cond` and are skipped entirely while the effect is off — when off the
+reference samples all three channels at offset 0 (raymarcher.cu:132,142-144),
+which is bitwise the G sample.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from relativisticraytracer_tpu.config import PI
+from relativisticraytracer_tpu.core.fastmath import arcsin as _poly_arcsin  # noqa: F401 (kernel-safe asin, for future in-kernel sampling)
 from relativisticraytracer_tpu.core.noise import fbm, hash31
 from relativisticraytracer_tpu.core.vecmath import Vec3
 
 
 class Skybox(NamedTuple):
-    """Device-resident equirect texture as three uint8 [H, W] channel planes
-    (SoA: keeps gathers per-channel contiguous and drops the unused alpha)."""
+    """Device-resident equirect texture: uint32 [H, W], R|G<<8|B<<16 per
+    texel (alpha is unused by the reference shading and dropped)."""
 
-    r: jnp.ndarray
-    g: jnp.ndarray
-    b: jnp.ndarray
+    packed: jnp.ndarray
 
     @property
     def shape(self):
-        return self.r.shape
+        return self.packed.shape
 
 
 def skybox_from_array(rgba: np.ndarray) -> Skybox:
@@ -43,11 +47,12 @@ def skybox_from_array(rgba: np.ndarray) -> Skybox:
     rgba = np.asarray(rgba)
     if rgba.dtype != np.uint8:
         raise ValueError(f"skybox must be uint8, got {rgba.dtype}")
-    return Skybox(
-        jnp.asarray(rgba[..., 0]),
-        jnp.asarray(rgba[..., 1]),
-        jnp.asarray(rgba[..., 2]),
+    packed = (
+        rgba[..., 0].astype(np.uint32)
+        | (rgba[..., 1].astype(np.uint32) << 8)
+        | (rgba[..., 2].astype(np.uint32) << 16)
     )
+    return Skybox(jnp.asarray(packed))
 
 
 def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
@@ -56,7 +61,7 @@ def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
 
     Addressing: u in [0,1) wraps (u - floor(u)); the filtered sample sits at
     (u*W - 0.5, v*H - 0.5) between texel centers; U taps wrap mod W, V taps
-    clamp to [0, H-1]. Texels read as uint8/255.
+    clamp to [0, H-1] independently. Texels read as uint8/255.
     """
     h, w = tex.shape
     # wrap-U on the normalized coordinate, clamp-V
@@ -79,24 +84,24 @@ def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
     y0i = jnp.clip(y0_int, 0, h - 1)
     y1i = jnp.clip(y0_int + 1, 0, h - 1)
 
-    flat00 = y0i * w + x0i
-    flat10 = y0i * w + x1i
-    flat01 = y1i * w + x0i
-    flat11 = y1i * w + x1i
+    flat = tex.packed.reshape(-1)
+    t00 = jnp.take(flat, y0i * w + x0i)
+    t10 = jnp.take(flat, y0i * w + x1i)
+    t01 = jnp.take(flat, y1i * w + x0i)
+    t11 = jnp.take(flat, y1i * w + x1i)
 
     inv255 = jnp.float32(1.0 / 255.0)
 
-    def gather(plane):
-        flat = plane.reshape(-1)
-        t00 = jnp.take(flat, flat00).astype(jnp.float32)
-        t10 = jnp.take(flat, flat10).astype(jnp.float32)
-        t01 = jnp.take(flat, flat01).astype(jnp.float32)
-        t11 = jnp.take(flat, flat11).astype(jnp.float32)
-        top = t00 + fx * (t10 - t00)
-        bot = t01 + fx * (t11 - t01)
+    def chan(shift):
+        def unpack(v):
+            return ((v >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
+
+        c00, c10, c01, c11 = unpack(t00), unpack(t10), unpack(t01), unpack(t11)
+        top = c00 + fx * (c10 - c00)
+        bot = c01 + fx * (c11 - c01)
         return (top + fy * (bot - top)) * inv255
 
-    return Vec3(gather(tex.r), gather(tex.g), gather(tex.b))
+    return Vec3(chan(0), chan(8), chan(16))
 
 
 def _equirect_uv(d: Vec3, phi_offset):
@@ -111,21 +116,28 @@ def _equirect_uv(d: Vec3, phi_offset):
 
 def sample_sky(tex: Skybox, d: Vec3, effects) -> Vec3:
     """Background color for escape direction d, with chromatic aberration as
-    +/- phi offsets on the R/B channels (raymarcher.cu:131-145). The
-    reference always takes three samples (offset, 0, -offset with offset=0
-    when CA is off); we do the same so toggling CA never retraces."""
-    offset = jnp.where(
-        effects.use_chromatic_aberration > 0.5,
-        effects.ca_amount,
-        jnp.float32(0.0),
-    )
-    tr_x, tr_y = _equirect_uv(d, offset)
+    +/- phi offsets on the R/B channels (raymarcher.cu:131-145). The G
+    sample always runs; the R/B resamples run under a lax.cond on the CA
+    flag (off => they equal the G sample bitwise, as in the reference where
+    offset is 0)."""
     tg_x, tg_y = _equirect_uv(d, jnp.float32(0.0))
-    tb_x, tb_y = _equirect_uv(d, -offset)
-    s_r = sample_bilinear(tex, tr_x, tr_y)
     s_g = sample_bilinear(tex, tg_x, tg_y)
-    s_b = sample_bilinear(tex, tb_x, tb_y)
-    return Vec3(s_r.x, s_g.y, s_b.z)
+
+    def with_ca(_):
+        offset = effects.ca_amount
+        tr_x, tr_y = _equirect_uv(d, offset)
+        tb_x, tb_y = _equirect_uv(d, -offset)
+        s_r = sample_bilinear(tex, tr_x, tr_y)
+        s_b = sample_bilinear(tex, tb_x, tb_y)
+        return s_r.x, s_b.z
+
+    def without_ca(_):
+        return s_g.x, s_g.z
+
+    r, b = jax.lax.cond(
+        effects.use_chromatic_aberration > 0.5, with_ca, without_ca, None
+    )
+    return Vec3(r, s_g.y, b)
 
 
 def procedural_starfield(height: int = 1024, width: int = 2048, seed: float = 7.0) -> np.ndarray:
