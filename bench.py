@@ -38,7 +38,7 @@ def main():
     from relativisticraytracer_tpu.render.skybox import procedural_starfield
 
     platform = jax.devices()[0].platform
-    loop = args.loop or ("pallas" if platform == "tpu" else "while")
+    loop = args.loop or "auto"
     if args.small:
         width, height = 256, 256
     else:
@@ -80,7 +80,7 @@ def main():
 
     ms = float(np.median(times))
     result = {
-        "metric": f"full_scene_{height}p_frame_time[{platform},{loop}]",
+        "metric": f"full_scene_{height}p_frame_time[{platform},{settings.resolved_loop()}]",
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / ms, 4),

@@ -28,15 +28,11 @@ def _add_render_args(p):
 
 
 def _build_renderer(args):
-    import jax
-
     from relativisticraytracer_tpu.config import RenderSettings, SceneConfig
     from relativisticraytracer_tpu.io.image import load_skybox
     from relativisticraytracer_tpu.render.pipeline import Renderer
 
-    loop = args.loop or (
-        "pallas" if jax.devices()[0].platform == "tpu" else "while"
-    )
+    loop = args.loop or "auto"
     scene = SceneConfig(
         spin_a=args.spin,
         max_steps=args.max_steps,

@@ -165,8 +165,16 @@ class RenderSettings:
     width: int = WINDOW_WIDTH
     height: int = WINDOW_HEIGHT
     max_steps: int = 2000          # config.h:48
-    # March loop strategy: "scan" (fixed trip count, differentiable-friendly),
-    # "while" (chunked scan + all-rays-done early exit), or "pallas"
-    # (fused Pallas TPU kernel with per-tile early exit).
-    loop: str = "while"
+    # March loop strategy: "auto" (pallas on TPU, while elsewhere), "scan"
+    # (fixed trip count, differentiable-friendly), "while" (chunked scan +
+    # all-rays-done early exit), or "pallas" (fused Pallas TPU kernel with
+    # per-tile early exit — the fast path).
+    loop: str = "auto"
     chunk: int = 64                # steps per chunk for loop="while"
+
+    def resolved_loop(self) -> str:
+        if self.loop != "auto":
+            return self.loop
+        import jax
+
+        return "pallas" if jax.devices()[0].platform == "tpu" else "while"

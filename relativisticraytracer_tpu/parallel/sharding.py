@@ -100,7 +100,7 @@ def render_frame_sharded(
         hdr, _ = render_hdr(
             scene, origin, direction, time, sky_fn,
             max_steps=settings.max_steps,
-            loop=settings.loop if settings.loop in ("scan", "while") else "while",
+            loop=settings.loop if settings.loop in ("scan", "while") else "while",  # pallas/auto -> while inside shard_map
             chunk=settings.chunk,
         )
         ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)

@@ -58,6 +58,7 @@ def render_frame(
             zero = jnp.zeros_like(d.x)
             return Vec3(zero, zero, zero)
 
+    loop = settings.resolved_loop()
     hdr, _ = render_hdr(
         scene,
         origin,
@@ -65,7 +66,7 @@ def render_frame(
         time,
         sky_fn,
         max_steps=settings.max_steps,
-        loop=settings.loop,
+        loop="while" if loop == "pallas" else loop,
         chunk=settings.chunk,
     )
     ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
@@ -74,7 +75,7 @@ def render_frame(
 
 @functools.lru_cache(maxsize=32)
 def _compiled_render(scene: SceneConfig, settings: RenderSettings):
-    if settings.loop == "pallas":
+    if settings.resolved_loop() == "pallas":
         from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
 
         fn = functools.partial(render_frame_pallas, scene, settings)
