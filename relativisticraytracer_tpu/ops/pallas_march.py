@@ -55,60 +55,81 @@ from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
 BLOCK_H = 32
 BLOCK_W = 128
 UNROLL = 8
+# Media-cond granularity (lane rows per independent sub-group). Whole-tile
+# (0) won the sweep: finer groups multiply the scf.while carry and spill.
+GROUP_ROWS = 0
 
 
 def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
+                       group_rows: int,
                        time_ref,
                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
                        vx_ref, vy_ref, vz_ref):
     t = time_ref[0]
+    tile_rows = ox_ref.shape[0]
+    n_groups = max(1, tile_rows // group_rows) if group_rows else 1
+    gr = tile_rows // n_groups
 
-    zeros = jnp.zeros_like(ox_ref[:])
-    state = MarchState(
-        p=Vec3(ox_ref[:], oy_ref[:], oz_ref[:]),
-        v=Vec3(dx_ref[:], dy_ref[:], dz_ref[:]),
-        intensity=Vec3(zeros, zeros, zeros),
-        transmittance=jnp.ones_like(zeros),
-        hit_horizon=jnp.zeros_like(zeros, dtype=bool),
-        active=jnp.ones_like(zeros, dtype=bool),
-    )
+    def make_state(sl):
+        zeros = jnp.zeros_like(ox_ref[sl])
+        return MarchState(
+            p=Vec3(ox_ref[sl], oy_ref[sl], oz_ref[sl]),
+            v=Vec3(dx_ref[sl], dy_ref[sl], dz_ref[sl]),
+            intensity=Vec3(zeros, zeros, zeros),
+            transmittance=jnp.ones_like(zeros),
+            hit_horizon=jnp.zeros_like(zeros, dtype=bool),
+            active=jnp.ones_like(zeros, dtype=bool),
+        )
+
+    # The tile is carried as n_groups independent row-group states: each
+    # group gets its OWN media lax.cond (an 8x128 strip crosses the disk
+    # band over fewer steps than the whole tile does), while the exit check
+    # stays tile-level.
+    slices = [slice(g * gr, (g + 1) * gr) for g in range(n_groups)]
+    states = tuple(make_state(sl) for sl in slices)
 
     # Mosaic cannot carry i1 vectors through scf.while — ship the masks as
     # f32 0/1 planes across loop iterations and rebuild bools inside.
-    def pack(i, st):
-        return (i, st.p, st.v, st.intensity, st.transmittance,
+    def pack_one(st):
+        return (st.p, st.v, st.intensity, st.transmittance,
                 st.hit_horizon.astype(jnp.float32), st.active.astype(jnp.float32))
 
-    def unpack(carry):
-        i, p, v, inten, trans, hit_f, act_f = carry
-        return i, MarchState(p, v, inten, trans, hit_f > 0.5, act_f > 0.5)
+    def unpack_one(c):
+        p, v, inten, trans, hit_f, act_f = c
+        return MarchState(p, v, inten, trans, hit_f > 0.5, act_f > 0.5)
 
     def cond(carry):
-        i, st = unpack(carry)
-        return jnp.logical_and(i < max_steps, jnp.any(st.active))
+        i, cs = carry
+        alive = jnp.any(cs[0][5] > 0.5)
+        for c in cs[1:]:
+            alive = jnp.logical_or(alive, jnp.any(c[5] > 0.5))
+        return jnp.logical_and(i < max_steps, alive)
 
     def body(carry):
-        i, st = unpack(carry)
+        i, cs = carry
+        sts = [unpack_one(c) for c in cs]
         # Unrolled steps amortize the exit check; finished rays are masked
         # no-ops, so overshooting the all-done point by <unroll steps is
         # exact. `unroll` divides max_steps (enforced by the wrapper).
         for _ in range(unroll):
-            st = march_step(scene, st, t, media_cond=True)
-        return pack(i + unroll, st)
+            sts = [march_step(scene, st, t, media_cond=True) for st in sts]
+        return i + unroll, tuple(pack_one(st) for st in sts)
 
-    _, state = unpack(
-        jax.lax.while_loop(cond, body, pack(jnp.int32(0), state))
+    _, carries = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tuple(pack_one(st) for st in states))
     )
 
-    ir_ref[:] = state.intensity.x
-    ig_ref[:] = state.intensity.y
-    ib_ref[:] = state.intensity.z
-    tr_ref[:] = state.transmittance
-    hit_ref[:] = state.hit_horizon.astype(jnp.float32)
-    vx_ref[:] = state.v.x
-    vy_ref[:] = state.v.y
-    vz_ref[:] = state.v.z
+    for sl, c in zip(slices, carries):
+        state = unpack_one(c)
+        ir_ref[sl] = state.intensity.x
+        ig_ref[sl] = state.intensity.y
+        ib_ref[sl] = state.intensity.z
+        tr_ref[sl] = state.transmittance
+        hit_ref[sl] = state.hit_horizon.astype(jnp.float32)
+        vx_ref[sl] = state.v.x
+        vy_ref[sl] = state.v.y
+        vz_ref[sl] = state.v.z
 
 
 def _round_up(x: int, m: int) -> int:
@@ -140,7 +161,8 @@ def _from_lane_tiles(a, h: int, w: int, bh: int, bw: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scene", "max_steps", "block_h", "block_w", "unroll", "interpret"
+        "scene", "max_steps", "block_h", "block_w", "unroll", "group_rows",
+        "interpret",
     ),
 )
 def march_pallas(
@@ -152,6 +174,7 @@ def march_pallas(
     block_h: int = BLOCK_H,
     block_w: int = BLOCK_W,
     unroll: int = UNROLL,
+    group_rows: int = GROUP_ROWS,
     interpret: bool = False,
 ):
     """March all rays with the fused tile kernel.
@@ -181,7 +204,9 @@ def march_pallas(
     out_shape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
 
     unroll = _largest_divisor_at_most(max_steps, unroll)
-    kernel = functools.partial(_march_tile_kernel, scene, max_steps, unroll)
+    kernel = functools.partial(
+        _march_tile_kernel, scene, max_steps, unroll, group_rows
+    )
 
     # Rough cost model: ~70% of rays escape after a few hundred vacuum steps,
     # photon-ring tiles run to the cap. Informs XLA's scheduler only.
