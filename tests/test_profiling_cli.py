@@ -1,0 +1,72 @@
+"""Observability helpers + command-line launcher."""
+
+import numpy as np
+
+from relativisticraytracer_tpu.__main__ import main as cli_main
+from relativisticraytracer_tpu.config import SceneConfig
+from relativisticraytracer_tpu.core.vecmath import Vec3
+from relativisticraytracer_tpu.render.camera import camera_state_from_pose, generate_rays
+from relativisticraytracer_tpu.config import effects_off
+from relativisticraytracer_tpu.render.march import march
+from relativisticraytracer_tpu.runtime.profiling import FrameTimer, march_stats
+
+
+def test_march_stats_accounts_all_rays():
+    scene = SceneConfig(max_steps=1200, enable_disk=False, enable_clouds=False)
+    cam = camera_state_from_pose((0.0, 2.0, -30.0), 0.0, 0.0)
+    origin, direction, _, _ = generate_rays(32, 24, cam, effects_off())
+    st = march(scene, origin, direction, 0.0, max_steps=1200)
+    stats = march_stats(st)
+    assert stats["rays"] == 32 * 24
+    assert 0.0 < stats["captured"] < 1.0  # BH dead ahead: some capture
+    total = stats["captured"] + stats["escaped"] + stats["saturated"]
+    assert abs(total - 1.0) < 1e-6
+    assert 0.0 <= stats["mean_transmittance"] <= 1.0
+
+
+def test_frame_timer_report():
+    t = FrameTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert "a:" in rep and "(n=2)" in rep and "b:" in rep
+    t.reset()
+    assert t.report() == "(no stages timed)"
+
+
+def test_cli_paths(capsys):
+    cli_main(["paths"])
+    out = capsys.readouterr().out
+    assert "Gargantua Fly-By" in out and "[2]" in out
+
+
+def test_cli_still(tmp_path):
+    out = tmp_path / "f.png"
+    cli_main([
+        "still", "--width", "32", "--height", "24", "--max-steps", "16",
+        "--loop", "while", "--out", str(out),
+    ])
+    assert out.exists()
+    from relativisticraytracer_tpu.io.image import load_image_rgba
+
+    img = load_image_rgba(str(out))
+    assert img.shape == (24, 32, 4)
+
+
+def test_cli_anim(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    out = tmp_path / "a.mp4"
+    cli_main([
+        "anim", "--width", "16", "--height", "8", "--max-steps", "8",
+        "--loop", "while", "--fps", "2", "--duration", "1.0",
+        "--out", str(out), "--no-effects",
+    ])
+    raw = out.with_suffix(".rgba")
+    assert raw.exists()
+    assert raw.stat().st_size == 2 * 16 * 8 * 4
