@@ -22,8 +22,11 @@ _C = 33.33     # hash offset (math_utils.h:67-69,93)
 
 
 def _frac_signed(x):
-    """C fmodf(x, 1.0f): truncated-division remainder, sign of the dividend."""
-    return jnp.fmod(x, 1.0)
+    """C fmodf(x, 1.0f): truncated-division remainder, sign of the dividend.
+    For divisor 1 this is exactly x - trunc(x) (trunc is exact; when
+    |x| >= 2^23 trunc(x) == x so the result is an exact 0) — bitwise equal
+    to fmodf but with no division, and this runs ~160x per 5-octave fbm."""
+    return x - jnp.trunc(x)
 
 
 def hash33(p: Vec3) -> Vec3:

@@ -93,7 +93,8 @@ def accretion_streaks(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarr
     (densities.h:38-59). In (0.02, 30.02]."""
     isco = scene.isco_radius
     phi = atan2(p.z, p.x)
-    omega = 3.5 * (isco / safe_r) ** 1.5
+    t_r = isco / safe_r
+    omega = 3.5 * (t_r * jnp.sqrt(t_r))  # x^1.5 = x*sqrt(x), no exp/log pow
     angle_rotated = phi - time * omega
 
     rot = Vec3(r * jnp.cos(angle_rotated), p.y * 4.0, r * jnp.sin(angle_rotated))
@@ -142,7 +143,8 @@ def dust_strands(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarray:
 
     # 2. differential shearing (densities.h:88-90)
     phi = atan2(p.z, p.x)
-    omega = (isco / safe_r) ** 1.5
+    t_r = isco / safe_r
+    omega = t_r * jnp.sqrt(t_r)
     angle_rot = phi - time * omega
 
     # 3. fluid domain warping (densities.h:93-108)
@@ -176,7 +178,8 @@ def dust_strands(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarray:
 
     # 5. contrast & transparency (densities.h:124-128)
     strands = smoothstep(0.4, 0.8, n * 0.55)
-    strands = strands ** 4.0
+    s2 = strands * strands
+    strands = s2 * s2  # x^4
     detail = fbm(Vec3(fc.x * 4.0, fc.y * 4.0 + time * 0.5, fc.z * 4.0), 2)
     strands = strands * (0.6 + 0.4 * detail)
     return strands * 12.0

@@ -81,7 +81,7 @@ def redshift_factor(scene: SceneConfig, p_rel: Vec3, ray_vel: Vec3) -> jnp.ndarr
     r_safe = jnp.maximum(r, eh * 1.005)  # masked lanes only; keeps sqrt real
     g_gravity = jnp.sqrt(1.0 - eh / r_safe)
 
-    v_mag = 1.0 / (r_safe ** 1.5 + scene.spin_a)
+    v_mag = 1.0 / (r_safe * jnp.sqrt(r_safe) + scene.spin_a)  # r^1.5
     gas_dir = normalize(Vec3(-p_rel.z, jnp.zeros_like(r), p_rel.x))
     cos_theta = dot(ray_vel, gas_dir)
 

@@ -137,8 +137,9 @@ def _media_contribution(scene: SceneConfig, rel: Vec3, r2, v_new: Vec3,
             g = redshift_factor(scene, rel, v_new)
             temp = disk_temperature(scene, jnp.sqrt(r2))
             t_ratio = temp / scene.disk_temp_ref
-            t_norm = t_ratio ** 0.5
-            bol_i = g ** 4.0 * t_norm * d_disk * scene.disk_luminosity
+            t_norm = jnp.sqrt(t_ratio)
+            g2 = g * g
+            bol_i = (g2 * g2) * t_norm * d_disk * scene.disk_luminosity
             color_t = g * t_ratio ** 0.4 * 2.5
             emit_r = emit_r + _select(lit, 1.0 * bol_i, zero)
             emit_g = emit_g + _select(lit, jnp.minimum(0.25, 0.12 * color_t) * bol_i, zero)
