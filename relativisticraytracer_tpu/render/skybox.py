@@ -6,14 +6,18 @@ normalized coordinates (reference: src/main.cpp:250-263) — and samples it
 with phi/theta mapping plus optional chromatic-aberration phi offsets
 (reference: src/raymarcher.cu:128-146).
 
-TPUs have no texture units and XLA gathers cost ~20 ns/element (serial), so
-the texture is stored as ONE uint32 plane with R|G<<8|B<<16 packed per
-texel: a full bilinear RGB sample is exactly 4 gathered elements (the
-hardware minimum for 4 taps), with channel unpack + filtering as cheap VPU
-math. The chromatic-aberration R/B resamples (3x the gathers) run under a
-`lax.cond` and are skipped entirely while the effect is off — when off the
-reference samples all three channels at offset 0 (raymarcher.cu:132,142-144),
-which is bitwise the G sample.
+TPUs have no texture units and XLA gathers cost ~10-20 ns per gathered
+ELEMENT (near-serial), so the texture is stored quad-packed: for each
+channel, one uint32 plane whose entry at (y0, x0) holds the full 2x2
+bilinear footprint — texels (x0, x1) x (ya, yb) at 8 bits each, with
+U-wrap (x1 = (x0+1) mod W) and V-clamp baked in at build time (the plane
+has H+1 rows indexed by y0+1, covering the half-texel bands past both
+poles). A full bilinear RGB sample is exactly 3 gathered elements — the
+information-theoretic minimum (4 texels x 3 channels x 8 bits = 96 bits) —
+with unpack + filtering as cheap VPU math. The chromatic-aberration R/B
+resamples run under a `lax.cond` and are skipped entirely while the effect
+is off — when off the reference samples all three channels at offset 0
+(raymarcher.cu:132,142-144), which is bitwise the G sample.
 """
 
 from __future__ import annotations
@@ -31,14 +35,31 @@ from relativisticraytracer_tpu.core.vecmath import Vec3
 
 
 class Skybox(NamedTuple):
-    """Device-resident equirect texture: uint32 [H, W], R|G<<8|B<<16 per
-    texel (alpha is unused by the reference shading and dropped)."""
+    """Device-resident quad-packed equirect texture: per channel, a uint32
+    [H+1, W] plane where entry (y0+1, x0) packs the 2x2 bilinear footprint
+    c(x0,ya) | c(x1,ya)<<8 | c(x0,yb)<<16 | c(x1,yb)<<24 with x1 = (x0+1)
+    mod W (U-wrap) and (ya, yb) = (clip(y0), clip(y0+1)) (V-clamp); y0 spans
+    [-1, H-1]. Alpha is unused by the reference shading and dropped."""
 
-    packed: jnp.ndarray
+    qr: jnp.ndarray
+    qg: jnp.ndarray
+    qb: jnp.ndarray
 
     @property
     def shape(self):
-        return self.packed.shape
+        """Logical texture (H, W)."""
+        hq, w = self.qr.shape
+        return (hq - 1, w)
+
+
+def _quad_pack(plane: np.ndarray) -> np.ndarray:
+    """uint8 [H, W] channel -> uint32 [H+1, W] quad plane (see Skybox)."""
+    h, w = plane.shape
+    p = plane.astype(np.uint32)
+    right = np.roll(p, -1, axis=1)                      # x1 = (x0+1) mod W
+    ya = np.clip(np.arange(-1, h), 0, h - 1)            # top row, clamped
+    yb = np.clip(np.arange(0, h + 1), 0, h - 1)         # bottom row, clamped
+    return p[ya] | (right[ya] << 8) | (p[yb] << 16) | (right[yb] << 24)
 
 
 def skybox_from_array(rgba: np.ndarray) -> Skybox:
@@ -47,12 +68,11 @@ def skybox_from_array(rgba: np.ndarray) -> Skybox:
     rgba = np.asarray(rgba)
     if rgba.dtype != np.uint8:
         raise ValueError(f"skybox must be uint8, got {rgba.dtype}")
-    packed = (
-        rgba[..., 0].astype(np.uint32)
-        | (rgba[..., 1].astype(np.uint32) << 8)
-        | (rgba[..., 2].astype(np.uint32) << 16)
+    return Skybox(
+        jnp.asarray(_quad_pack(rgba[..., 0])),
+        jnp.asarray(_quad_pack(rgba[..., 1])),
+        jnp.asarray(_quad_pack(rgba[..., 2])),
     )
-    return Skybox(jnp.asarray(packed))
 
 
 def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
@@ -61,7 +81,8 @@ def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
 
     Addressing: u in [0,1) wraps (u - floor(u)); the filtered sample sits at
     (u*W - 0.5, v*H - 0.5) between texel centers; U taps wrap mod W, V taps
-    clamp to [0, H-1] independently. Texels read as uint8/255.
+    clamp to [0, H-1] independently. Texels read as uint8/255. One gather
+    per channel fetches the whole pre-packed 2x2 quad.
     """
     h, w = tex.shape
     # wrap-U on the normalized coordinate, clamp-V
@@ -75,33 +96,24 @@ def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
     fx = xb - x0
     fy = yb - y0
 
-    x0_int = x0.astype(jnp.int32)
-    y0_int = y0.astype(jnp.int32)
-    x0i = jnp.mod(x0_int, w)
-    x1i = jnp.mod(x0_int + 1, w)
-    # Each V tap clamps independently (at the pole rows both taps land on the
-    # same row, matching CUDA clamp-to-edge).
-    y0i = jnp.clip(y0_int, 0, h - 1)
-    y1i = jnp.clip(y0_int + 1, 0, h - 1)
-
-    flat = tex.packed.reshape(-1)
-    t00 = jnp.take(flat, y0i * w + x0i)
-    t10 = jnp.take(flat, y0i * w + x1i)
-    t01 = jnp.take(flat, y1i * w + x0i)
-    t11 = jnp.take(flat, y1i * w + x1i)
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    # vy in [0, H] => y0 in [-1, H-1]; quad planes are indexed by y0+1.
+    yq = y0.astype(jnp.int32) + 1
+    idx = yq * w + x0i
 
     inv255 = jnp.float32(1.0 / 255.0)
 
-    def chan(shift):
-        def unpack(v):
-            return ((v >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
-
-        c00, c10, c01, c11 = unpack(t00), unpack(t10), unpack(t01), unpack(t11)
+    def chan(plane):
+        t = jnp.take(plane.reshape(-1), idx)
+        c00 = (t & jnp.uint32(0xFF)).astype(jnp.float32)
+        c10 = ((t >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
+        c01 = ((t >> 16) & jnp.uint32(0xFF)).astype(jnp.float32)
+        c11 = (t >> 24).astype(jnp.float32)
         top = c00 + fx * (c10 - c00)
         bot = c01 + fx * (c11 - c01)
         return (top + fy * (bot - top)) * inv255
 
-    return Vec3(chan(0), chan(8), chan(16))
+    return Vec3(chan(tex.qr), chan(tex.qg), chan(tex.qb))
 
 
 def _equirect_uv(d: Vec3, phi_offset):
