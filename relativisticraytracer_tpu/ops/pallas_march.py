@@ -42,6 +42,7 @@ from relativisticraytracer_tpu.render.camera import generate_rays
 from relativisticraytracer_tpu.render.march import MarchState, march_step
 from relativisticraytracer_tpu.render.postfx import (
     apply_effects_and_tonemap,
+    apply_lens_distortion,
     pack_rgba8,
 )
 from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
@@ -60,27 +61,14 @@ UNROLL = 8
 GROUP_ROWS = 0
 
 
-def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
-                       group_rows: int,
-                       time_ref,
-                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                       ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
-                       vx_ref, vy_ref, vz_ref):
-    t = time_ref[0]
-    tile_rows = ox_ref.shape[0]
+def _run_march_loop(scene: SceneConfig, max_steps: int, unroll: int,
+                    group_rows: int, t, make_state, tile_rows,
+                    ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                    vx_ref, vy_ref, vz_ref):
+    """Shared tile march loop: builds per-row-group states via
+    `make_state(slice)`, runs the early-exit while loop, writes outputs."""
     n_groups = max(1, tile_rows // group_rows) if group_rows else 1
     gr = tile_rows // n_groups
-
-    def make_state(sl):
-        zeros = jnp.zeros_like(ox_ref[sl])
-        return MarchState(
-            p=Vec3(ox_ref[sl], oy_ref[sl], oz_ref[sl]),
-            v=Vec3(dx_ref[sl], dy_ref[sl], dz_ref[sl]),
-            intensity=Vec3(zeros, zeros, zeros),
-            transmittance=jnp.ones_like(zeros),
-            hit_horizon=jnp.zeros_like(zeros, dtype=bool),
-            active=jnp.ones_like(zeros, dtype=bool),
-        )
 
     # The tile is carried as n_groups independent row-group states: each
     # group gets its OWN media lax.cond (an 8x128 strip crosses the disk
@@ -130,6 +118,97 @@ def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
         vx_ref[sl] = state.v.x
         vy_ref[sl] = state.v.y
         vz_ref[sl] = state.v.z
+
+
+def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
+                       group_rows: int,
+                       time_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                       vx_ref, vy_ref, vz_ref):
+    """Plane-input kernel: rays supplied as (H, W)-derived lane tiles."""
+    t = time_ref[0]
+    tile_rows = ox_ref.shape[0]
+
+    def make_state(sl):
+        zeros = jnp.zeros_like(ox_ref[sl])
+        return MarchState(
+            p=Vec3(ox_ref[sl], oy_ref[sl], oz_ref[sl]),
+            v=Vec3(dx_ref[sl], dy_ref[sl], dz_ref[sl]),
+            intensity=Vec3(zeros, zeros, zeros),
+            transmittance=jnp.ones_like(zeros),
+            hit_horizon=jnp.zeros_like(zeros, dtype=bool),
+            active=jnp.ones_like(zeros, dtype=bool),
+        )
+
+    _run_march_loop(scene, max_steps, unroll, group_rows, t, make_state,
+                    tile_rows, ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                    vx_ref, vy_ref, vz_ref)
+
+
+def _march_camera_kernel(scene: SceneConfig, max_steps: int, unroll: int,
+                         group_rows: int, width: int, height: int,
+                         block_h: int, block_w: int, nbx: int,
+                         scal_ref,
+                         ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                         vx_ref, vy_ref, vz_ref):
+    """Fully fused kernel: primary rays are GENERATED in-kernel from the
+    camera basis (15 SMEM scalars) and the tile's pixel coordinates —
+    no ray planes ever touch HBM. Ray-gen semantics match
+    render/camera.generate_rays exactly (raymarcher.cu:20-34)."""
+    t = scal_ref[0]
+    cam_pos = (scal_ref[1], scal_ref[2], scal_ref[3])
+    fwd = (scal_ref[4], scal_ref[5], scal_ref[6])
+    right = (scal_ref[7], scal_ref[8], scal_ref[9])
+    up = (scal_ref[10], scal_ref[11], scal_ref[12])
+    use_ld = scal_ref[13]
+    ld_k = scal_ref[14]
+
+    i = pl.program_id(0)
+    by = i // nbx
+    bx = i % nbx
+    tile_rows = (block_h * block_w) // 128
+
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 128), 1)
+    )
+    px = (bx * block_w + lane % block_w).astype(jnp.float32)
+    py = (by * block_h + lane // block_w).astype(jnp.float32)
+
+    # division (not reciprocal-multiply) to match generate_rays bitwise
+    uv_x = px / jnp.float32(width)
+    uv_y = py / jnp.float32(height)
+    dx_uv, dy_uv = apply_lens_distortion(uv_x, uv_y, ld_k)
+    on = use_ld > 0.5
+    uv_x = jnp.where(on, dx_uv, uv_x)
+    uv_y = jnp.where(on, dy_uv, uv_y)
+
+    aspect = jnp.float32(width) / jnp.float32(height)
+    u = (uv_x * 2.0 - 1.0) * aspect
+    v = uv_y * 2.0 - 1.0
+    rd = normalize(
+        Vec3(
+            fwd[0] + u * right[0] + v * up[0],
+            fwd[1] + u * right[1] + v * up[1],
+            fwd[2] + u * right[2] + v * up[2],
+        )
+    )
+
+    def make_state(sl):
+        zeros = jnp.zeros_like(rd.x[sl])
+        return MarchState(
+            p=Vec3(zeros + cam_pos[0], zeros + cam_pos[1], zeros + cam_pos[2]),
+            v=Vec3(rd.x[sl], rd.y[sl], rd.z[sl]),
+            intensity=Vec3(zeros, zeros, zeros),
+            transmittance=jnp.ones_like(zeros),
+            hit_horizon=jnp.zeros_like(zeros, dtype=bool),
+            active=jnp.ones_like(zeros, dtype=bool),
+        )
+
+    _run_march_loop(scene, max_steps, unroll, group_rows, t, make_state,
+                    tile_rows, ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                    vx_ref, vy_ref, vz_ref)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -244,6 +323,101 @@ def march_pallas(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scene", "width", "height", "max_steps", "block_h", "block_w",
+        "unroll", "group_rows", "interpret",
+    ),
+)
+def march_pallas_camera(
+    scene: SceneConfig,
+    camera,
+    effects: CameraEffects,
+    time,
+    width: int,
+    height: int,
+    max_steps: int,
+    block_h: int = BLOCK_H,
+    block_w: int = BLOCK_W,
+    unroll: int = UNROLL,
+    group_rows: int = GROUP_ROWS,
+    interpret: bool = False,
+):
+    """March the full frame with in-kernel ray generation: the camera basis
+    rides in as 15 SMEM scalars; ray planes never touch HBM. Same outputs
+    as march_pallas."""
+    if (block_h * block_w) % 128:
+        raise ValueError("block_h*block_w must be a multiple of 128")
+    hp, wp = _round_up(height, block_h), _round_up(width, block_w)
+    nby, nbx = hp // block_h, wp // block_w
+    num_blocks = nby * nbx
+    tile_rows = (block_h * block_w) // 128
+
+    scal = jnp.concatenate([
+        jnp.asarray(time, jnp.float32).reshape(1),
+        jnp.asarray(camera.pos, jnp.float32).reshape(3),
+        jnp.asarray(camera.forward, jnp.float32).reshape(3),
+        jnp.asarray(camera.right, jnp.float32).reshape(3),
+        jnp.asarray(camera.up, jnp.float32).reshape(3),
+        jnp.asarray(effects.use_lens_distortion, jnp.float32).reshape(1),
+        jnp.asarray(effects.distortion_amount, jnp.float32).reshape(1),
+    ])
+
+    tile_spec = pl.BlockSpec(
+        (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
+
+    unroll = _largest_divisor_at_most(max_steps, unroll)
+    kernel = functools.partial(
+        _march_camera_kernel, scene, max_steps, unroll, group_rows,
+        width, height, block_h, block_w, nbx,
+    )
+    avg_steps = max(1, max_steps // 3)
+    cost = pl.CostEstimate(
+        flops=int(hp * wp) * avg_steps * 320,
+        bytes_accessed=int(hp * wp) * 4 * 8,
+        transcendentals=int(hp * wp) * avg_steps * 8,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],  # scalars (15,)
+        out_specs=[tile_spec] * 8,
+        out_shape=[out_shape] * 8,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(scal)
+
+    def post(a):
+        return _from_lane_tiles(a, hp, wp, block_h, block_w)[:height, :width]
+
+    ir, ig, ib, tr, hit, vx, vy, vz = [post(o) for o in outs]
+    return (
+        Vec3(ir, ig, ib),
+        tr,
+        hit > 0.5,
+        Vec3(vx, vy, vz),
+    )
+
+
+def _uv_planes(width: int, height: int, effects: CameraEffects):
+    """The (possibly distorted) uv planes for the vignette — same math as
+    generate_rays (raymarcher.cu:20-25) without the ray basis work."""
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    uv_x = jnp.broadcast_to(xs[None, :] / jnp.float32(width), (height, width))
+    uv_y = jnp.broadcast_to(ys[:, None] / jnp.float32(height), (height, width))
+    dx, dy = apply_lens_distortion(uv_x, uv_y, effects.distortion_amount)
+    on = effects.use_lens_distortion > 0.5
+    return jnp.where(on, dx, uv_x), jnp.where(on, dy, uv_y)
+
+
 def render_frame_pallas(
     scene: SceneConfig,
     settings: RenderSettings,
@@ -253,14 +427,13 @@ def render_frame_pallas(
     sky: Optional[Skybox],
 ) -> jnp.ndarray:
     """Drop-in replacement for render/pipeline.render_frame using the fused
-    tile kernel for the march. Same semantics, same output."""
-    origin, direction, uv_x, uv_y = generate_rays(
-        settings.width, settings.height, camera, effects
+    tile kernel (with in-kernel ray generation) for the march. Same
+    semantics, same output."""
+    intensity, trans, hit, vel = march_pallas_camera(
+        scene, camera, effects, jnp.asarray(time, jnp.float32),
+        settings.width, settings.height, settings.max_steps,
     )
-    intensity, trans, hit, vel = march_pallas(
-        scene, origin, direction, jnp.asarray(time, jnp.float32),
-        settings.max_steps,
-    )
+    uv_x, uv_y = _uv_planes(settings.width, settings.height, effects)
 
     d = normalize(vel)
     if sky is not None:

@@ -84,3 +84,31 @@ def test_lane_tile_roundtrip():
     assert t.shape == (64 * 256 // 128, 128)
     back = _from_lane_tiles(t, 64, 256, 32, 64)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+
+def test_camera_kernel_matches_plane_kernel():
+    """In-kernel ray generation == generate_rays + plane kernel."""
+    from relativisticraytracer_tpu.ops.pallas_march import march_pallas_camera
+
+    scene = SceneConfig(max_steps=48)
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    eff = CameraEffects()  # lens distortion on
+    origin, direction, _, _ = generate_rays(100, 70, cam, eff)
+    a = march_pallas_camera(
+        scene, cam, eff, jnp.float32(1.5), 100, 70, 48,
+        block_h=32, block_w=64, unroll=4, interpret=INTERPRET,
+    )
+    b = march_pallas(
+        scene, origin, direction, jnp.float32(1.5), 48,
+        block_h=32, block_w=64, unroll=4, interpret=INTERPRET,
+    )
+    for got, want in zip(
+        [a[0].x, a[0].y, a[0].z, a[1], a[3].x, a[3].y, a[3].z],
+        [b[0].x, b[0].y, b[0].z, b[1], b[3].x, b[3].y, b[3].z],
+    ):
+        # ulp-level raygen rounding (iota-int vs arange path) accumulates
+        # over the march; directions/intensities agree to ~1e-6.
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-6, atol=5e-7
+        )
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
