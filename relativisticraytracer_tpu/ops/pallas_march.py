@@ -25,7 +25,7 @@ and packing remain fused XLA ops around it.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,6 @@ from relativisticraytracer_tpu.config import (
     SceneConfig,
 )
 from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
-from relativisticraytracer_tpu.render.camera import generate_rays
 from relativisticraytracer_tpu.render.march import MarchState, march_step
 from relativisticraytracer_tpu.render.postfx import (
     apply_effects_and_tonemap,
