@@ -18,8 +18,10 @@ the TPU way:
     the XLA path, so parity is structural, and is covered by the
     pallas==while bitwise test).
 
-Only the march loop lives in the kernel; skybox gather, post FX, tone map
-and packing remain fused XLA ops around it.
+Ray generation also happens inside the kernel (the camera basis rides in as
+SMEM scalars; pixel coordinates come from the grid index), so no ray planes
+ever touch HBM; skybox gather, post FX, tone map and packing remain fused
+XLA ops around the kernel.
 """
 
 from __future__ import annotations
