@@ -73,7 +73,8 @@ struct FrameSink {
 extern "C" {
 
 // mode 0: `target` is a shell command to pipe into (e.g. an ffmpeg line).
-// mode 1: `target` is a filesystem path opened for binary write.
+// mode 1: `target` is a filesystem path opened for binary write (truncate).
+// mode 2: `target` is a filesystem path opened for binary append (resume).
 // Returns an opaque handle, or nullptr on failure.
 void* fs_create(const char* target, int mode, long frame_bytes,
                 int queue_frames) {
@@ -83,7 +84,7 @@ void* fs_create(const char* target, int mode, long frame_bytes,
   if (is_pipe) {
     out = popen(target, "w");
   } else {
-    out = fopen(target, "wb");
+    out = fopen(target, mode == 2 ? "ab" : "wb");
   }
   if (!out) return nullptr;
 

@@ -71,7 +71,10 @@ class VideoRecorder:
     def is_recording(self) -> bool:
         return self._sink is not None
 
-    def start(self) -> str:
+    def start(self, append_frames: int = 0) -> str:
+        """Open the sink. append_frames > 0 (raw mode only) resumes an
+        interrupted recording: the existing file is truncated to exactly
+        that many whole frames and subsequent captures append."""
         if self._sink is not None:
             return self.out_path
         if self.raw_fallback:
@@ -80,6 +83,12 @@ class VideoRecorder:
                 self.out_path = str(
                     pathlib.Path(self.out_path).with_suffix(".rgba")
                 )
+            append = append_frames > 0 and pathlib.Path(self.out_path).exists()
+            if append:
+                # Drop any partial frame a crash may have left behind.
+                import os
+
+                os.truncate(self.out_path, append_frames * self.frame_bytes)
             sidecar = {
                 "format": "rawvideo rgba, top-down rows",
                 "width": self.width,
@@ -93,7 +102,9 @@ class VideoRecorder:
             pathlib.Path(self.out_path).with_suffix(".json").write_text(
                 json.dumps(sidecar, indent=2)
             )
-            self._sink = FrameSink(self.out_path, self.frame_bytes, mode="file")
+            self._sink = FrameSink(
+                self.out_path, self.frame_bytes, mode="file", append=append
+            )
         else:
             self.out_path = self.out_path or timestamped_filename()
             cmd = ffmpeg_command(self.width, self.height, self.fps, self.out_path)

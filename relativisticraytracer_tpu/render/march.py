@@ -74,10 +74,6 @@ def _select(mask, a, b):
     return jnp.where(mask, a, b)
 
 
-def _select_vec(mask, a: Vec3, b: Vec3) -> Vec3:
-    return Vec3(_select(mask, a.x, b.x), _select(mask, a.y, b.y), _select(mask, a.z, b.z))
-
-
 def media_probes(scene: SceneConfig, rel: Vec3, in_disk_zone, in_cloud_zone,
                  active):
     """~10-op per-ray masks that are False wherever the media provably

@@ -172,12 +172,17 @@ class AnimationJob:
         settings = self.renderer.settings
         rec = VideoRecorder(settings.width, settings.height, self.fps,
                             out_path=self.out_path)
-        out_path = rec.start()
-        ckpt = self._checkpoint_path(out_path)
-
+        # Resolve the resume point BEFORE opening the sink so raw-file mode
+        # appends at the right frame instead of truncating finished work.
         start_frame = 0
-        if resume and rec.raw_fallback and ckpt.exists():
-            start_frame = json.loads(ckpt.read_text()).get("next_frame", 0)
+        if resume and rec.raw_fallback and self.out_path is not None:
+            ckpt_probe = self._checkpoint_path(
+                str(pathlib.Path(self.out_path).with_suffix(".rgba"))
+            )
+            if ckpt_probe.exists():
+                start_frame = json.loads(ckpt_probe.read_text()).get("next_frame", 0)
+        out_path = rec.start(append_frames=start_frame)
+        ckpt = self._checkpoint_path(out_path)
 
         n = self.total_frames()
         t_start = _time.perf_counter()

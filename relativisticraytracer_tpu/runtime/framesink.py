@@ -65,23 +65,26 @@ class FrameSink:
     """
 
     def __init__(self, target: str, frame_bytes: int, mode: str = "file",
-                 queue_frames: int = 8, force_python: bool = False):
+                 queue_frames: int = 8, force_python: bool = False,
+                 append: bool = False):
         if mode not in ("pipe", "file"):
             raise ValueError(f"bad mode {mode!r}")
+        if append and mode != "file":
+            raise ValueError("append only valid for file sinks")
         self.frame_bytes = frame_bytes
         self._handle = None
         self._py = None
         lib = None if force_python else _load_library()
         if lib is not None:
+            native_mode = 0 if mode == "pipe" else (2 if append else 1)
             handle = lib.fs_create(
-                target.encode(), 0 if mode == "pipe" else 1,
-                frame_bytes, queue_frames,
+                target.encode(), native_mode, frame_bytes, queue_frames,
             )
             if handle:
                 self._handle = ctypes.c_void_p(handle)
                 self._lib = lib
                 return
-        self._py = _PythonSink(target, mode, queue_frames)
+        self._py = _PythonSink(target, mode, queue_frames, append)
 
     @property
     def native(self) -> bool:
@@ -123,7 +126,8 @@ class FrameSink:
 class _PythonSink:
     """Fallback: same ring-buffer/writer-thread design in Python."""
 
-    def __init__(self, target: str, mode: str, queue_frames: int):
+    def __init__(self, target: str, mode: str, queue_frames: int,
+                 append: bool = False):
         self.frames_written = 0
         self._proc = None
         self._q: "queue.Queue[Optional[bytes]]" = queue.Queue(maxsize=queue_frames)
@@ -134,7 +138,7 @@ class _PythonSink:
             )
             self._out = self._proc.stdin
         else:
-            self._out = open(target, "wb")
+            self._out = open(target, "ab" if append else "wb")
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
 

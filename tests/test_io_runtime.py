@@ -113,13 +113,19 @@ def test_animation_job_runs_and_resumes(tmp_path, monkeypatch):
     size_full = pathlib.Path(stats["out_path"]).stat().st_size
     assert size_full == 6 * 16 * 12 * 4
 
-    # simulate an interrupted job: checkpoint says 4 frames done
+    # simulate an interrupted job: checkpoint says 4 frames done, and the
+    # crash left a partial 5th frame on disk
     ck = pathlib.Path(stats["out_path"] + ".ckpt.json")
     ck.write_text(json.dumps({"next_frame": 4, "out_path": stats["out_path"]}))
+    raw = pathlib.Path(stats["out_path"])
+    frame_bytes = 16 * 12 * 4
+    raw.write_bytes(raw.read_bytes()[: 4 * frame_bytes + 100])
     stats2 = job.run(resume=True)
     assert stats2["resumed_at"] == 4
     assert stats2["frames"] == 2
     assert not ck.exists()  # cleared on completion
+    # frames 0-3 survived the resume; partial frame dropped; 4-5 re-rendered
+    assert raw.stat().st_size == size_full
 
 
 def test_session_controls(tmp_path, monkeypatch):
