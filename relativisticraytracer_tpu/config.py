@@ -171,6 +171,10 @@ class RenderSettings:
     # per-tile early exit — the fast path).
     loop: str = "auto"
     chunk: int = 64                # steps per chunk for loop="while"
+    # Supersampling AA factor (beyond the reference, which renders 1 ray per
+    # pixel): rays are traced on an (s*H, s*W) grid and box-filtered after
+    # tone mapping. 1 = reference behavior.
+    supersample: int = 1
 
     def resolved_loop(self) -> str:
         if self.loop != "auto":

@@ -44,6 +44,7 @@ from relativisticraytracer_tpu.render.march import MarchState, march_step
 from relativisticraytracer_tpu.render.postfx import (
     apply_effects_and_tonemap,
     apply_lens_distortion,
+    downsample_box,
     pack_rgba8,
 )
 from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
@@ -430,11 +431,12 @@ def render_frame_pallas(
     """Drop-in replacement for render/pipeline.render_frame using the fused
     tile kernel (with in-kernel ray generation) for the march. Same
     semantics, same output."""
+    ss = settings.supersample
     intensity, trans, hit, vel = march_pallas_camera(
         scene, camera, effects, jnp.asarray(time, jnp.float32),
-        settings.width, settings.height, settings.max_steps,
+        settings.width * ss, settings.height * ss, settings.max_steps,
     )
-    uv_x, uv_y = _uv_planes(settings.width, settings.height, effects)
+    uv_x, uv_y = _uv_planes(settings.width * ss, settings.height * ss, effects)
 
     d = normalize(vel)
     if sky is not None:
@@ -454,4 +456,4 @@ def render_frame_pallas(
         intensity.z + bg.z * trans,
     )
     ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
-    return pack_rgba8(ldr)
+    return pack_rgba8(downsample_box(ldr, ss))

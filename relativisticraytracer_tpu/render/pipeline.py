@@ -27,6 +27,7 @@ from relativisticraytracer_tpu.render.camera import CameraState, generate_rays
 from relativisticraytracer_tpu.render.march import render_hdr
 from relativisticraytracer_tpu.render.postfx import (
     apply_effects_and_tonemap,
+    downsample_box,
     pack_rgba8,
 )
 from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
@@ -46,8 +47,9 @@ def render_frame(
     and `sky` are traced, so camera motion, effect toggles, the sim clock,
     and even skybox swaps reuse the compiled program.
     """
+    ss = settings.supersample
     origin, direction, uv_x, uv_y = generate_rays(
-        settings.width, settings.height, camera, effects
+        settings.width * ss, settings.height * ss, camera, effects
     )
 
     if sky is not None:
@@ -70,7 +72,7 @@ def render_frame(
         chunk=settings.chunk,
     )
     ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
-    return pack_rgba8(ldr)
+    return pack_rgba8(downsample_box(ldr, ss))
 
 
 @functools.lru_cache(maxsize=32)

@@ -100,3 +100,16 @@ def pack_rgba8(ldr: Vec3) -> jnp.ndarray:
     b = chan(ldr.z)
     a = jnp.full_like(r, 255)
     return jnp.stack([r, g, b, a], axis=-1)
+
+
+def downsample_box(ldr: Vec3, s: int) -> Vec3:
+    """SSAA resolve: (s*H, s*W) -> (H, W) box filter (post-tonemap).
+    s is static; s=1 is the identity (reference behavior)."""
+    if s == 1:
+        return ldr
+
+    def d(c):
+        hs, ws = c.shape
+        return c.reshape(hs // s, s, ws // s, s).mean(axis=(1, 3))
+
+    return Vec3(d(ldr.x), d(ldr.y), d(ldr.z))

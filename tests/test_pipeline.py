@@ -174,3 +174,21 @@ def test_golden_images(sky_small, name, scene_kw, effects_on):
     diff = got[..., :3].astype(int) - want[..., :3].astype(int)
     rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
     assert rmse < 1e-3, f"golden {name}: RMSE {rmse}"
+
+
+def test_supersampling(sky_small):
+    """SSAA: 2x renders and box-filters; s=1 is bitwise the default path."""
+    scene = SceneConfig(max_steps=40)
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    base = Renderer(
+        scene, RenderSettings(width=32, height=24, max_steps=40),
+        skybox_rgba=sky_small,
+    ).render_np(cam, effects_off(), 1.0)
+    ss = Renderer(
+        scene, RenderSettings(width=32, height=24, max_steps=40, supersample=2),
+        skybox_rgba=sky_small,
+    ).render_np(cam, effects_off(), 1.0)
+    assert ss.shape == base.shape
+    # AA result stays close to the aliased render but differs on edges
+    diff = np.abs(ss[..., :3].astype(int) - base[..., :3].astype(int))
+    assert 0 < diff.mean() < 30
