@@ -57,12 +57,20 @@ struct FrameSink {
         --filled;
         cv_space.notify_one();
       }
-      size_t n = fwrite(local.data(), 1, frame_bytes, out);
-      if (n != frame_bytes) {
+      bool ok;
+      {
         std::lock_guard<std::mutex> lk(mu);
-        write_error = true;
-      } else {
-        frames_written.fetch_add(1);
+        ok = !write_error;
+      }
+      if (ok) {
+        size_t n = fwrite(local.data(), 1, frame_bytes, out);
+        if (n != frame_bytes) {
+          std::lock_guard<std::mutex> lk(mu);
+          write_error = true;
+          cv_space.notify_all();  // wake any producer blocked on a full ring
+        } else {
+          frames_written.fetch_add(1);
+        }
       }
     }
   }
@@ -107,9 +115,10 @@ int fs_submit(void* handle, const uint8_t* data, long len) {
     return -1;
   std::unique_lock<std::mutex> lk(sink->mu);
   if (sink->closing || sink->write_error) return -1;
-  sink->cv_space.wait(
-      lk, [&] { return sink->filled < sink->slots || sink->closing; });
-  if (sink->closing) return -1;
+  sink->cv_space.wait(lk, [&] {
+    return sink->filled < sink->slots || sink->closing || sink->write_error;
+  });
+  if (sink->closing || sink->write_error) return -1;
   std::memcpy(sink->ring.data() + sink->head * sink->frame_bytes, data,
               sink->frame_bytes);
   sink->head = (sink->head + 1) % sink->slots;

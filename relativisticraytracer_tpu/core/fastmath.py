@@ -1,9 +1,13 @@
 """Transcendentals that Mosaic (Pallas TPU) does not provide natively.
 
-`atan2` is a minimax-polynomial implementation (max abs error < 1.1e-7 in
-float32 — ~2 ulp of atan2f) built only from mul/add/div/select, so the same
-code lowers inside Pallas kernels and in plain XLA. The march uses it in
-BOTH paths, keeping the Pallas and XLA renders bit-identical.
+`atan2` is a minimax-polynomial implementation (measured max abs error
+2.4e-7 in float32, ~2 ulp of atan2f) built only from mul/add/div/select, so
+the same code lowers inside Pallas kernels and in plain XLA. The march uses
+it in BOTH paths, keeping the Pallas and XLA renders bit-identical.
+
+Signed-zero caveat: y = -0.0 is treated as non-negative (jnp comparisons do
+not distinguish +/-0), so atan2(-0.0, x<0) returns +pi where libm returns
+-pi. sin/cos of +/-pi agree to ~1 ulp, so rendered output is unaffected.
 """
 
 from __future__ import annotations
@@ -38,8 +42,8 @@ def _atan_unit(t):
 
 
 def atan2(y, x):
-    """Four-quadrant arctangent, atan2f semantics for all finite inputs
-    (atan2(0, 0) = 0; the x<0, y=0 edge returns +pi like libm)."""
+    """Four-quadrant arctangent (~2 ulp). atan2(0, 0) = 0; see the module
+    docstring for the signed-zero caveat."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     mx = jnp.maximum(ax, ay)

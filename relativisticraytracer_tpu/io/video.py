@@ -64,6 +64,7 @@ class VideoRecorder:
         self.fps = fps
         self.frame_bytes = width * height * 4
         self._sink: Optional[FrameSink] = None
+        self._user_out_path = out_path
         self.out_path = out_path
         self.raw_fallback = not ffmpeg_available()
 
@@ -77,8 +78,10 @@ class VideoRecorder:
         that many whole frames and subsequent captures append."""
         if self._sink is not None:
             return self.out_path
+        # Auto-named recordings get a FRESH timestamped file per start, like
+        # the reference (main.cpp:36-57); an explicit out_path is reused.
         if self.raw_fallback:
-            self.out_path = self.out_path or timestamped_filename(ext="rgba")
+            self.out_path = self._user_out_path or timestamped_filename(ext="rgba")
             if not self.out_path.endswith(".rgba"):
                 self.out_path = str(
                     pathlib.Path(self.out_path).with_suffix(".rgba")
@@ -106,7 +109,7 @@ class VideoRecorder:
                 self.out_path, self.frame_bytes, mode="file", append=append
             )
         else:
-            self.out_path = self.out_path or timestamped_filename()
+            self.out_path = self._user_out_path or timestamped_filename()
             cmd = ffmpeg_command(self.width, self.height, self.fps, self.out_path)
             self._sink = FrameSink(cmd, self.frame_bytes, mode="pipe")
         return self.out_path

@@ -39,6 +39,7 @@ from relativisticraytracer_tpu.config import (
     RenderSettings,
     SceneConfig,
 )
+from relativisticraytracer_tpu.core.utils import largest_divisor_at_most
 from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
 from relativisticraytracer_tpu.render.march import MarchState, march_step
 from relativisticraytracer_tpu.render.postfx import (
@@ -217,14 +218,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _largest_divisor_at_most(n: int, k: int) -> int:
-    k = max(1, min(k, n))
-    for c in range(k, 0, -1):
-        if n % c == 0:
-            return c
-    return 1
-
-
 def _to_lane_tiles(a, bh: int, bw: int):
     """(H, W) plane -> (num_blocks * bh*bw/128, 128) lane layout where each
     consecutive group of bh*bw/128 rows is one compact image block. Pure
@@ -284,7 +277,11 @@ def march_pallas(
     )
     out_shape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
 
-    unroll = _largest_divisor_at_most(max_steps, unroll)
+    unroll = largest_divisor_at_most(max_steps, unroll)
+    tile_rows_k = (block_h * block_w) // 128
+    if group_rows:
+        # snap to a divisor: a non-divisor would leave tail rows unmarched
+        group_rows = largest_divisor_at_most(tile_rows_k, group_rows)
     kernel = functools.partial(
         _march_tile_kernel, scene, max_steps, unroll, group_rows
     )
@@ -371,7 +368,9 @@ def march_pallas_camera(
     )
     out_shape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
 
-    unroll = _largest_divisor_at_most(max_steps, unroll)
+    unroll = largest_divisor_at_most(max_steps, unroll)
+    if group_rows:
+        group_rows = largest_divisor_at_most(tile_rows, group_rows)
     kernel = functools.partial(
         _march_camera_kernel, scene, max_steps, unroll, group_rows,
         width, height, block_h, block_w, nbx,

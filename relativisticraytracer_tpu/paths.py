@@ -215,11 +215,12 @@ class CameraController:
             self.pos = self.pos + np.array([0, s, 0], dtype=np.float32)
 
     def look(self, dx: float, dy: float) -> None:
-        """Mouse look with +/-89 deg pitch clamp (main.cpp:308-327; offsets
-        are lastPos - newPos in the reference, i.e. dx, dy here are raw
-        cursor deltas)."""
-        self.yaw -= dx * self.mouse_sensitivity
-        self.pitch -= dy * self.mouse_sensitivity
+        """Mouse look with +/-89 deg pitch clamp. dx, dy are raw cursor
+        deltas (newPos - lastPos). The reference computes offsets as
+        lastPos - newPos and then SUBTRACTS them (main.cpp:316-324), which
+        nets to yaw/pitch INCREASING with the raw delta."""
+        self.yaw += dx * self.mouse_sensitivity
+        self.pitch += dy * self.mouse_sensitivity
         self.pitch = min(89.0, max(-89.0, self.pitch))
 
 

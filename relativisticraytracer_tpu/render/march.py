@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from relativisticraytracer_tpu.config import SceneConfig
+from relativisticraytracer_tpu.core.utils import largest_divisor_at_most
 from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
 from relativisticraytracer_tpu.media import densities as densities_mod
 from relativisticraytracer_tpu.media.densities import (
@@ -298,14 +299,6 @@ def march_step(scene: SceneConfig, state: MarchState, time,
     return MarchState(p, v, intensity, trans, hit, active)
 
 
-def _largest_divisor_at_most(n: int, k: int) -> int:
-    k = max(1, min(k, n))
-    for c in range(k, 0, -1):
-        if n % c == 0:
-            return c
-    return 1
-
-
 def march(
     scene: SceneConfig,
     origin: Vec3,
@@ -334,7 +327,7 @@ def march(
         return state
 
     if loop == "while":
-        chunk = _largest_divisor_at_most(max_steps, chunk)
+        chunk = largest_divisor_at_most(max_steps, chunk)
         n_chunks = max_steps // chunk
 
         def chunk_body(carry):

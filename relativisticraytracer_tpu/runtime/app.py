@@ -176,11 +176,21 @@ class AnimationJob:
         # appends at the right frame instead of truncating finished work.
         start_frame = 0
         if resume and rec.raw_fallback and self.out_path is not None:
-            ckpt_probe = self._checkpoint_path(
-                str(pathlib.Path(self.out_path).with_suffix(".rgba"))
-            )
+            raw_path = pathlib.Path(self.out_path).with_suffix(".rgba")
+            ckpt_probe = self._checkpoint_path(str(raw_path))
             if ckpt_probe.exists():
                 start_frame = json.loads(ckpt_probe.read_text()).get("next_frame", 0)
+                # The checkpoint records frames SUBMITTED to the async sink;
+                # the file is the source of truth for frames actually flushed
+                # (a crash can lose queued frames). Resume from whichever is
+                # smaller, never past the on-disk whole-frame count.
+                frame_bytes = rec.frame_bytes
+                on_disk = (
+                    raw_path.stat().st_size // frame_bytes
+                    if raw_path.exists()
+                    else 0
+                )
+                start_frame = min(start_frame, on_disk)
         out_path = rec.start(append_frames=start_frame)
         ckpt = self._checkpoint_path(out_path)
 

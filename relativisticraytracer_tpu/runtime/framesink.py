@@ -109,8 +109,11 @@ class FrameSink:
 
     def close(self) -> int:
         if self._handle is not None:
+            had_error = bool(self._lib.fs_has_error(self._handle))
             n = int(self._lib.fs_close(self._handle))
             self._handle = None
+            if had_error:
+                raise IOError("frame sink write failed; output is incomplete")
             return n
         if self._py is not None:
             return self._py.close()
@@ -129,6 +132,7 @@ class _PythonSink:
     def __init__(self, target: str, mode: str, queue_frames: int,
                  append: bool = False):
         self.frames_written = 0
+        self.error = False
         self._proc = None
         self._q: "queue.Queue[Optional[bytes]]" = queue.Queue(maxsize=queue_frames)
         if mode == "pipe":
@@ -147,16 +151,28 @@ class _PythonSink:
             frame = self._q.get()
             if frame is None:
                 return
-            self._out.write(frame)
-            self.frames_written += 1
+            if self.error:
+                continue  # keep draining so producers never deadlock
+            try:
+                self._out.write(frame)
+                self.frames_written += 1
+            except Exception:
+                self.error = True  # e.g. BrokenPipeError: encoder died
 
     def submit(self, frame: bytes) -> None:
+        if self.error:
+            raise IOError("frame sink write failed (consumer error)")
         self._q.put(frame)
 
     def close(self) -> int:
         self._q.put(None)
         self._thread.join()
-        self._out.close()
+        try:
+            self._out.close()
+        except Exception:
+            self.error = True
         if self._proc is not None:
             self._proc.wait()
+        if self.error:
+            raise IOError("frame sink failed; output is incomplete")
         return self.frames_written

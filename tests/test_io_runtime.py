@@ -174,3 +174,65 @@ def test_load_skybox_fallback_and_png(tmp_path):
     # a real image file loads
     sky2 = load_skybox(str(p))
     np.testing.assert_array_equal(sky2, sky)
+
+
+def test_second_recording_gets_fresh_filename(tmp_path, monkeypatch):
+    """Auto-named recordings must not overwrite the previous one
+    (reference generates a new timestamped name per start, main.cpp:36-50)."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    monkeypatch.chdir(tmp_path)
+    import time as _t
+
+    rec = VideoRecorder(4, 2)
+    first = rec.start()
+    rec.capture(np.zeros((2, 4, 4), dtype=np.uint8))
+    rec.stop()
+    _t.sleep(1.1)  # timestamped filename has 1s resolution
+    second = rec.start()
+    rec.stop()
+    assert first != second
+    assert pathlib.Path(first).exists() and pathlib.Path(second).exists()
+
+
+def test_python_sink_survives_dead_consumer(tmp_path):
+    """A dying pipe consumer must raise, not deadlock the render loop."""
+    import time as _t
+
+    sink = FrameSink("head -c 64 > /dev/null", 64, mode="pipe",
+                     queue_frames=2, force_python=True)
+    _t.sleep(0.3)  # let head read one frame's worth and exit
+
+    with pytest.raises(IOError):
+        # After head exits the OS pipe buffer (64KB) absorbs a bit more,
+        # then writes raise BrokenPipeError in the drain thread; submit must
+        # surface that instead of blocking forever on the full queue.
+        for _ in range(5000):
+            sink.submit(b"x" * 64)
+        sink.close()
+
+
+def test_resume_clamps_to_frames_on_disk(tmp_path, monkeypatch):
+    """Checkpoint ahead of the flushed file (async sink + crash) must resume
+    from the on-disk frame count, not the checkpoint's."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    r = _tiny_renderer()
+    out = str(tmp_path / "anim.rgba")
+    job = AnimationJob(path=default_paths()[0], renderer=r, fps=2,
+                       duration=3.0, out_path=out, checkpoint_every=2)
+    stats = job.run()
+    raw = pathlib.Path(stats["out_path"])
+    frame_bytes = 16 * 12 * 4
+    full = raw.read_bytes()
+    # crash lost 2 queued frames: disk has 2, checkpoint claims 4
+    raw.write_bytes(full[: 2 * frame_bytes])
+    pathlib.Path(stats["out_path"] + ".ckpt.json").write_text(
+        json.dumps({"next_frame": 4, "out_path": stats["out_path"]})
+    )
+    stats2 = job.run(resume=True)
+    assert stats2["resumed_at"] == 2  # clamped to disk, not 4
+    assert raw.stat().st_size == 6 * frame_bytes
+    assert raw.read_bytes() == full  # no zero-filled garbage frames

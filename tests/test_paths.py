@@ -112,9 +112,11 @@ def test_camera_controller_movement_quirks():
     assert float(cam.pos[1]) == y0 - np.float32(0.3)
     cam.move("shift")  # SHIFT moves UP (main.cpp:354-356)
     assert abs(float(cam.pos[1]) - y0) < 1e-6
+    # reference: xoffset = lastX - xpos, yaw -= xoffset*sens => cursor
+    # moving right (+dx) INCREASES yaw (main.cpp:316-323)
     cam.look(10.0, 0.0)
-    assert cam.yaw == -1.0  # yaw -= dx * 0.1
-    cam.look(0.0, 1e6)
+    assert cam.yaw == 1.0
+    cam.look(0.0, -1e6)
     assert cam.pitch == -89.0  # clamped
 
 
