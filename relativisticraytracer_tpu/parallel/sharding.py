@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from relativisticraytracer_tpu.config import CameraEffects, RenderSettings, SceneConfig
-from relativisticraytracer_tpu.core.vecmath import Vec3
+from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
 from relativisticraytracer_tpu.render.camera import CameraState, generate_rays
 from relativisticraytracer_tpu.render.march import render_hdr
 from relativisticraytracer_tpu.render.postfx import (
@@ -88,21 +88,47 @@ def render_frame_sharded(
 
     tile_spec = P(AXIS_ROWS, AXIS_COLS)
 
-    def tile_fn(origin, direction, uv_x, uv_y, effects, time, sky):
-        if sky is not None:
-            def sky_fn(d: Vec3) -> Vec3:
-                return sample_sky(sky, d, effects)
-        else:
-            def sky_fn(d: Vec3) -> Vec3:
-                zero = jnp.zeros_like(d.x)
-                return Vec3(zero, zero, zero)
+    loop = settings.resolved_loop()
 
-        hdr, _ = render_hdr(
-            scene, origin, direction, time, sky_fn,
-            max_steps=settings.max_steps,
-            loop=settings.loop if settings.loop in ("scan", "while") else "while",  # pallas/auto -> while inside shard_map
-            chunk=settings.chunk,
-        )
+    def tile_fn(origin, direction, uv_x, uv_y, effects, time, sky):
+        if loop == "pallas":
+            # Per-device fused march kernel — each chip runs the fast path
+            # on its own tile (interpreted off-TPU so the bitwise
+            # tiled==untiled contract is testable on the CPU mesh).
+            from relativisticraytracer_tpu.ops.pallas_march import march_pallas
+
+            intensity, trans, hit, vel = march_pallas(
+                scene, origin, direction,
+                jnp.asarray(time, jnp.float32), settings.max_steps,
+                interpret=jax.default_backend() != "tpu",
+            )
+            d = normalize(vel)
+            if sky is not None:
+                bg = sample_sky(sky, d, effects)
+            else:
+                zero = jnp.zeros_like(d.x)
+                bg = Vec3(zero, zero, zero)
+            zero = jnp.zeros_like(trans)
+            hdr = Vec3(
+                intensity.x + jnp.where(hit, zero, bg.x) * trans,
+                intensity.y + jnp.where(hit, zero, bg.y) * trans,
+                intensity.z + jnp.where(hit, zero, bg.z) * trans,
+            )
+        else:
+            if sky is not None:
+                def sky_fn(d: Vec3) -> Vec3:
+                    return sample_sky(sky, d, effects)
+            else:
+                def sky_fn(d: Vec3) -> Vec3:
+                    zero = jnp.zeros_like(d.x)
+                    return Vec3(zero, zero, zero)
+
+            hdr, _ = render_hdr(
+                scene, origin, direction, time, sky_fn,
+                max_steps=settings.max_steps,
+                loop=loop if loop in ("scan", "while") else "while",
+                chunk=settings.chunk,
+            )
         ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
         return pack_rgba8(ldr)
 
@@ -111,6 +137,9 @@ def render_frame_sharded(
         mesh=mesh,
         in_specs=(tile_spec, tile_spec, tile_spec, tile_spec, P(), P(), P()),
         out_specs=P(AXIS_ROWS, AXIS_COLS, None),
+        # pallas_call outputs don't carry varying-mesh-axis metadata; the
+        # kernel is purely tile-local so the check adds nothing here.
+        check_vma=False,
     )
     return sharded(origin, direction, uv_x, uv_y, effects, time, sky)
 
