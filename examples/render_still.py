@@ -1,0 +1,22 @@
+#!/usr/bin/env python
+"""Render a single frame: the reference's default view, full quality.
+
+    python examples/render_still.py [out.png]
+"""
+
+import sys
+
+from relativisticraytracer_tpu import Renderer, RenderSettings, SceneConfig
+from relativisticraytracer_tpu.io.image import load_skybox, save_png
+from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+
+out = sys.argv[1] if len(sys.argv) > 1 else "still.png"
+
+renderer = Renderer(
+    SceneConfig(),                               # Sgr A* scene, config.h defaults
+    RenderSettings(width=1920, height=1080),     # loop="auto": Pallas on TPU
+    skybox_rgba=load_skybox(None),               # or load_skybox("my_equirect.jpg")
+)
+camera = camera_state_from_pose(pos=(0.0, 10.0, -60.0), yaw=0.0, pitch=-10.0)
+save_png(out, renderer.render_np(camera, time=1.0))
+print(f"wrote {out}")
