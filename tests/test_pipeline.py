@@ -192,3 +192,39 @@ def test_supersampling(sky_small):
     # AA result stays close to the aliased render but differs on edges
     diff = np.abs(ss[..., :3].astype(int) - base[..., :3].astype(int))
     assert 0 < diff.mean() < 30
+
+
+def test_full_frame_matches_oracle_kerr(sky_small):
+    """Kerr a=0.9: frame-dragging term exercised through the whole pipeline
+    (BASELINE config 2 shape)."""
+    w, h, steps = 12, 9, 400
+    scene = SceneConfig(spin_a=0.9, enable_disk=False, enable_clouds=False,
+                        max_steps=steps)
+    settings = RenderSettings(width=w, height=h, max_steps=steps, loop="while")
+    r = Renderer(scene, settings, skybox_rgba=sky_small)
+    pose = ((0.0, 3.0, -30.0), 0.0, -5.0)
+    got = r.render_np(camera_state_from_pose(*pose), effects_off(), time=0.0)
+
+    pos, fwd, right, up = oracle.camera_basis(*pose)
+    frame = np.zeros((h, w, 4), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            _, rd, uv = oracle.gen_ray(x, y, w, h, pos, fwd, right, up)
+            p, v, inten, trans, hit, _ = oracle.march_ray(
+                pos, rd, 0.0, steps, enable_disk=False, enable_clouds=False,
+                spin_a=np.float32(0.9),
+            )
+            bg = np.zeros(3, dtype=np.float32)
+            if not hit:
+                d = oracle.normalize(v)
+                phi = F(np.arctan2(d[2], d[0]))
+                theta = F(np.arcsin(np.clip(d[1], -1, 1)))
+                bg = _tex_bilinear(
+                    sky_small, F(0.5) + phi / (F(2.0) * oracle.PI),
+                    F(0.5) - theta / oracle.PI,
+                )
+            ldr = oracle.tonemap((inten + bg * trans).astype(np.float32))
+            frame[y, x, :3] = (np.clip(ldr, 0, 1) * 255).astype(np.uint8)
+    diff = got[..., :3].astype(int) - frame[..., :3].astype(int)
+    rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+    assert rmse < 1e-3, f"RMSE {rmse}"
