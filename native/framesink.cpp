@@ -9,7 +9,8 @@
 // the TPU keeps rendering while H.264 encoding happens elsewhere.
 //
 // Sinks: mode 0 pipes raw RGBA into a command (FFmpeg, reference command
-// line semantics per main.cpp:60-74); mode 1 appends to a raw file.
+// line semantics per main.cpp:60-74); mode 1 writes (truncates) a raw
+// file; mode 2 appends to a raw file (resume).
 //
 // C ABI only (consumed via ctypes — no pybind11 in this toolchain).
 
@@ -80,6 +81,10 @@ struct FrameSink {
 
 extern "C" {
 
+// Bump when the C ABI changes; the Python loader rebuilds on mismatch.
+long fs_abi_version() { return 2; }
+
+
 // mode 0: `target` is a shell command to pipe into (e.g. an ffmpeg line).
 // mode 1: `target` is a filesystem path opened for binary write (truncate).
 // mode 2: `target` is a filesystem path opened for binary append (resume).
@@ -141,7 +146,8 @@ int fs_has_error(void* handle) {
 
 // Drains the queue, joins the writer, closes the pipe/file (finalizing the
 // MP4 when the target was FFmpeg — analog of pclose at main.cpp:104).
-// Returns frames written, or -1.
+// Returns frames written, or -1 on any write error — INCLUDING errors that
+// happened while draining the final queued frames (checked after join).
 long fs_close(void* handle) {
   auto* sink = static_cast<FrameSink*>(handle);
   if (!sink) return -1;
@@ -157,9 +163,10 @@ long fs_close(void* handle) {
   } else {
     fclose(sink->out);
   }
+  bool err = sink->write_error;
   long n = sink->frames_written.load();
   delete sink;
-  return n;
+  return err ? -1 : n;
 }
 
 }  // extern "C"

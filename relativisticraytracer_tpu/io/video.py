@@ -88,6 +88,19 @@ class VideoRecorder:
                 )
             append = append_frames > 0 and pathlib.Path(self.out_path).exists()
             if append:
+                # The raw file is only resumable if it was written at this
+                # exact geometry — check the sidecar before truncating.
+                side = pathlib.Path(self.out_path).with_suffix(".json")
+                if side.exists():
+                    prev = json.loads(side.read_text())
+                    if (prev.get("width"), prev.get("height")) != (
+                        self.width, self.height
+                    ):
+                        raise ValueError(
+                            f"cannot resume {self.out_path}: it holds "
+                            f"{prev.get('width')}x{prev.get('height')} frames, "
+                            f"recorder is {self.width}x{self.height}"
+                        )
                 # Drop any partial frame a crash may have left behind.
                 import os
 
@@ -123,12 +136,15 @@ class VideoRecorder:
         self._sink.submit(np.ascontiguousarray(frame).tobytes())
 
     def stop(self) -> int:
-        """Finalize; returns the number of frames written."""
+        """Finalize; returns the number of frames written. The recorder is
+        always reusable afterwards, even if the sink reports a write error
+        (close() raising must not wedge is_recording)."""
         if self._sink is None:
             return 0
-        n = self._sink.close()
-        self._sink = None
-        return n
+        try:
+            return self._sink.close()
+        finally:
+            self._sink = None
 
     def toggle(self) -> bool:
         """R-key semantics (main.cpp:113-119). Returns new recording state."""

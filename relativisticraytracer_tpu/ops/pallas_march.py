@@ -278,10 +278,9 @@ def march_pallas(
     out_shape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
 
     unroll = largest_divisor_at_most(max_steps, unroll)
-    tile_rows_k = (block_h * block_w) // 128
     if group_rows:
         # snap to a divisor: a non-divisor would leave tail rows unmarched
-        group_rows = largest_divisor_at_most(tile_rows_k, group_rows)
+        group_rows = largest_divisor_at_most(tile_rows, group_rows)
     kernel = functools.partial(
         _march_tile_kernel, scene, max_steps, unroll, group_rows
     )

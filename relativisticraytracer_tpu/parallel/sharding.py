@@ -29,6 +29,7 @@ from relativisticraytracer_tpu.render.camera import CameraState, generate_rays
 from relativisticraytracer_tpu.render.march import render_hdr
 from relativisticraytracer_tpu.render.postfx import (
     apply_effects_and_tonemap,
+    downsample_box,
     pack_rgba8,
 )
 from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
@@ -81,9 +82,10 @@ def render_frame_sharded(
         raise ValueError(
             f"image {settings.height}x{settings.width} not divisible by mesh {ny}x{nx}"
         )
+    ss = settings.supersample
 
     origin, direction, uv_x, uv_y = generate_rays(
-        settings.width, settings.height, camera, effects
+        settings.width * ss, settings.height * ss, camera, effects
     )
 
     tile_spec = P(AXIS_ROWS, AXIS_COLS)
@@ -130,7 +132,7 @@ def render_frame_sharded(
                 chunk=settings.chunk,
             )
         ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
-        return pack_rgba8(ldr)
+        return pack_rgba8(downsample_box(ldr, ss))
 
     sharded = jax.shard_map(
         tile_fn,

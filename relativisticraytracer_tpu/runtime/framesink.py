@@ -29,13 +29,33 @@ def _load_library() -> Optional[ctypes.CDLL]:
     if _lib_tried:
         return _lib
     _lib_tried = True
+    ABI = 2
+
+    def build():
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+            capture_output=True, timeout=120,
+        )
+
     try:
         if not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-                capture_output=True, timeout=120,
-            )
+            build()
         lib = ctypes.CDLL(str(_LIB_PATH))
+        # A stale pre-ABI library would misinterpret the append mode and
+        # truncate files being resumed — rebuild on any version mismatch.
+        try:
+            lib.fs_abi_version.restype = ctypes.c_long
+            ok = lib.fs_abi_version() == ABI
+        except AttributeError:
+            ok = False
+        if not ok:
+            subprocess.run(["make", "clean"], cwd=_NATIVE_DIR,
+                           capture_output=True, timeout=60)
+            build()
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.fs_abi_version.restype = ctypes.c_long
+            if lib.fs_abi_version() != ABI:
+                raise RuntimeError("framesink ABI mismatch after rebuild")
         lib.fs_create.restype = ctypes.c_void_p
         lib.fs_create.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_long, ctypes.c_int,
@@ -109,10 +129,11 @@ class FrameSink:
 
     def close(self) -> int:
         if self._handle is not None:
-            had_error = bool(self._lib.fs_has_error(self._handle))
+            # fs_close drains the remaining queued frames and returns -1 if
+            # ANY write failed, including during that final drain.
             n = int(self._lib.fs_close(self._handle))
             self._handle = None
-            if had_error:
+            if n < 0:
                 raise IOError("frame sink write failed; output is incomplete")
             return n
         if self._py is not None:

@@ -82,20 +82,19 @@ def test_sharded_pallas_matches_unsharded():
     tiled = np.asarray(
         render_frame_sharded(scene, settings, mesh, cam, eff, 1.0, sky)
     )
-    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
-
-    # single-device pallas reference (camera-kernel path, interpret on CPU)
     import functools
     import jax as _jax
 
-    import relativisticraytracer_tpu.ops.pallas_march as pm
+    if _jax.default_backend() == "tpu":
+        from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
 
-    orig = pm.march_pallas_camera
-    untiled = np.asarray(
-        _jax.jit(
-            functools.partial(render_frame_pallas, scene, settings)
-        )(cam, eff, 1.0, sky)
-    ) if _jax.default_backend() == "tpu" else None
+        untiled = np.asarray(
+            _jax.jit(
+                functools.partial(render_frame_pallas, scene, settings)
+            )(cam, eff, 1.0, sky)
+        )
+    else:
+        untiled = None
     if untiled is None:
         # On CPU, compare against the plane-kernel pipeline instead.
         from relativisticraytracer_tpu.render.pipeline import render_frame
@@ -106,3 +105,16 @@ def test_sharded_pallas_matches_unsharded():
         assert np.abs(diff).max() <= 1  # FMA/fusion rounding only
     else:
         np.testing.assert_array_equal(tiled, untiled)
+
+
+def test_sharded_supersample_matches_unsharded():
+    scene, _, sky, cam, eff = _setup(w=64, h=48, steps=32)
+    settings = RenderSettings(width=64, height=48, max_steps=32,
+                              loop="while", supersample=2)
+    mesh = make_mesh(shape=(4, 2))
+    tiled = np.asarray(
+        render_frame_sharded(scene, settings, mesh, cam, eff, 1.0, sky)
+    )
+    untiled = np.asarray(render_frame(scene, settings, cam, eff, 1.0, sky))
+    assert tiled.shape == (48, 64, 4)
+    np.testing.assert_array_equal(tiled, untiled)

@@ -74,7 +74,7 @@ def main():
     results.append({
         "config": "5_path_animation_480p", "frames": stats["frames"],
         "ms_per_frame": round(stats["mean_frame_ms"], 1),
-        "output": "mp4 via ffmpeg pipe" if not job.renderer else stats["out_path"],
+        "output": stats["out_path"],
     })
     print(results[-1], flush=True)
 
