@@ -12,10 +12,59 @@ Usage: python bench.py [--small] [--frames N] [--loop while|scan|pallas]
 
 import argparse
 import json
+import pathlib
 import sys
 import time as _time
 
 BASELINE_MS = 1000.0 / 30.0
+GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "tests" / "goldens"
+
+
+def parity_gate(loop: str) -> dict:
+    """On-chip pixel gate: render the committed golden configs with the
+    BENCHMARKED code path (compiled Pallas on TPU) and RMSE-gate them
+    against the CPU-rendered goldens — every benchmarked build also proves
+    correctness on the real chip (VERDICT r1 #5). Returns
+    {"pass": bool, "cases": {name: rmse}}."""
+    import numpy as np
+
+    from relativisticraytracer_tpu.config import (
+        CameraEffects,
+        RenderSettings,
+        SceneConfig,
+        effects_off,
+    )
+    from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+    from relativisticraytracer_tpu.render.pipeline import Renderer
+    from relativisticraytracer_tpu.render.skybox import procedural_starfield
+
+    # Same cases as tools/make_goldens.py (vacuum + full scene bracket the
+    # kernel's code paths: pure march, media, post FX, skybox).
+    cases = [
+        ("schwarzschild_vacuum",
+         dict(enable_disk=False, enable_clouds=False), False),
+        ("full_scene_fx", dict(), True),
+    ]
+    sky = procedural_starfield(64, 128)
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    out = {"pass": True, "cases": {}}
+    for name, scene_kw, effects_on in cases:
+        golden_path = GOLDEN_DIR / f"{name}.npy"
+        if not golden_path.exists():
+            continue
+        scene = SceneConfig(max_steps=400, **scene_kw)
+        settings = RenderSettings(width=64, height=48, max_steps=400,
+                                  loop=loop)
+        r = Renderer(scene, settings, skybox_rgba=sky)
+        effects = CameraEffects() if effects_on else effects_off()
+        got = r.render_np(cam, effects, time=2.0)
+        want = np.load(golden_path)
+        diff = got[..., :3].astype(int) - want[..., :3].astype(int)
+        rmse = float(np.sqrt(np.mean((diff / 255.0) ** 2)))
+        out["cases"][name] = round(rmse, 6)
+        if rmse >= 1e-3:
+            out["pass"] = False
+    return out
 
 
 def main():
@@ -23,6 +72,8 @@ def main():
     ap.add_argument("--small", action="store_true", help="256x256 quick sanity run")
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--loop", default=None, choices=["while", "scan", "pallas"])
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the on-chip golden parity gate")
     args = ap.parse_args()
 
     import jax
@@ -100,12 +151,21 @@ def main():
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / thr_ms, 4),
     }
+
+    if not args.no_parity:
+        gate = parity_gate(settings.resolved_loop())
+        result["parity"] = "pass" if gate["pass"] else "fail"
+        result["parity_rmse"] = gate["cases"]
+
     print(json.dumps(result))
     print(
         f"# latency: {[round(t, 1) for t in lat]} ms | throughput "
         f"{1000.0 / thr_ms:.2f} fps | target {BASELINE_MS:.1f} ms",
         file=sys.stderr,
     )
+    if result.get("parity") == "fail":
+        print("# PARITY GATE FAILED on this chip/backend", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,26 @@ def cmd_anim(args):
     print(f"\n{stats}")
 
 
+def cmd_interactive(args):
+    from relativisticraytracer_tpu.runtime.app import Session
+    from relativisticraytracer_tpu.runtime.preview import (
+        PreviewServer,
+        run_terminal_preview,
+    )
+
+    session = Session(renderer=_build_renderer(args))
+    if args.terminal:
+        run_terminal_preview(session, width=args.term_width)
+        session.close()
+        return
+    server = PreviewServer(session, host=args.host, port=args.port,
+                           fps_cap=args.fps_cap)
+    print(f"live preview: http://{args.host}:{server.port}  "
+          "(click to capture mouse; WASD fly, R rec, P path, N next, "
+          "B/V/L/C effects; Ctrl-C to quit)")
+    server.serve_until_interrupt()
+
+
 def cmd_paths(_args):
     from relativisticraytracer_tpu.paths import default_paths
 
@@ -110,6 +130,19 @@ def main(argv=None):
     p_anim.add_argument("--duration", type=float, default=None)
     p_anim.add_argument("--out", default=None)
     p_anim.set_defaults(fn=cmd_anim)
+
+    p_live = sub.add_parser(
+        "interactive",
+        help="live fly-camera preview (MJPEG over HTTP, or --terminal)",
+    )
+    _add_render_args(p_live)
+    p_live.add_argument("--host", default="127.0.0.1")
+    p_live.add_argument("--port", type=int, default=8000)
+    p_live.add_argument("--fps-cap", type=float, default=30.0)
+    p_live.add_argument("--terminal", action="store_true",
+                        help="render to the terminal (ANSI half-blocks)")
+    p_live.add_argument("--term-width", type=int, default=100)
+    p_live.set_defaults(fn=cmd_interactive)
 
     p_paths = sub.add_parser("paths", help="list built-in camera paths")
     p_paths.set_defaults(fn=cmd_paths)

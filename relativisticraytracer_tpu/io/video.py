@@ -53,6 +53,149 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+class SegmentedRecorder:
+    """Checkpoint/resumable MP4 recording: frames are encoded into SEGMENT
+    files (one finalized MP4 per `segment_frames` frames) that are
+    losslessly concatenated (`ffmpeg -f concat -c copy`) on stop().
+
+    This makes encoder state resumable — the analog of the reference's
+    deterministic fixed-step clock (main.cpp:511-513) extended to the
+    encoder: a killed job loses at most the open segment; finished segments
+    plus the checkpoint JSON pin the exact next frame index. The raw-file
+    path (VideoRecorder without ffmpeg) is natively appendable and does not
+    need this.
+    """
+
+    def __init__(self, width: int, height: int, fps: int = RECORDING_FPS,
+                 out_path: str = "animation.mp4", segment_frames: int = 24):
+        if segment_frames <= 0:
+            raise ValueError("segment_frames must be positive")
+        self.width = width
+        self.height = height
+        self.fps = fps
+        self.frame_bytes = width * height * 4
+        self.out_path = str(out_path)
+        self.segment_frames = segment_frames
+        self.seg_dir = pathlib.Path(self.out_path + ".segs")
+        self._ckpt = pathlib.Path(self.out_path + ".ckpt.json")
+        self._segments: list[dict] = []   # finalized: {start, frames, path}
+        self._current: Optional[VideoRecorder] = None
+        self._current_start = 0
+        self._current_frames = 0
+        self.next_frame = 0
+
+    # --- resume bookkeeping ---
+    def resume(self) -> int:
+        """Load the checkpoint; returns the first frame index to render.
+        Finished segments are kept; a crash's partial segment was never in
+        the checkpoint, so its frames re-render. Geometry must match."""
+        if not self._ckpt.exists():
+            return 0
+        state = json.loads(self._ckpt.read_text())
+        if (state.get("width"), state.get("height"), state.get("fps")) != (
+            self.width, self.height, self.fps
+        ):
+            raise ValueError(
+                f"cannot resume {self.out_path}: checkpoint geometry "
+                f"{state.get('width')}x{state.get('height')}@{state.get('fps')} "
+                f"!= recorder {self.width}x{self.height}@{self.fps}"
+            )
+        segments = [
+            s for s in state.get("segments", [])
+            if pathlib.Path(s["path"]).exists()
+        ]
+        # segments must form a contiguous prefix 0..k — stop at the first gap
+        good: list[dict] = []
+        expect = 0
+        for s in sorted(segments, key=lambda s: s["start"]):
+            if s["start"] != expect:
+                break
+            good.append(s)
+            expect = s["start"] + s["frames"]
+        self._segments = good
+        self.next_frame = expect
+        return self.next_frame
+
+    def _write_ckpt(self) -> None:
+        self._ckpt.write_text(json.dumps({
+            "width": self.width, "height": self.height, "fps": self.fps,
+            "next_frame": self.next_frame,
+            "segments": self._segments,
+        }))
+
+    # --- recording ---
+    def capture(self, frame: np.ndarray) -> None:
+        if self._current is None:
+            self.seg_dir.mkdir(exist_ok=True)
+            seg_path = str(
+                self.seg_dir / f"seg_{self.next_frame:08d}.mp4"
+            )
+            self._current = VideoRecorder(
+                self.width, self.height, self.fps, out_path=seg_path
+            )
+            self._current.start()
+            self._current_start = self.next_frame
+            self._current_frames = 0
+        self._current.capture(frame)
+        self._current_frames += 1
+        self.next_frame += 1
+        if self._current_frames >= self.segment_frames:
+            self._finalize_segment()
+
+    def _finalize_segment(self) -> None:
+        if self._current is None:
+            return
+        rec, self._current = self._current, None
+        path = rec.out_path
+        rec.stop()
+        self._segments.append({
+            "start": self._current_start,
+            "frames": self._current_frames,
+            "path": path,
+        })
+        self._current_frames = 0
+        self._write_ckpt()
+
+    def abort(self) -> None:
+        """Best-effort crash flush: finalize the open segment (its frames
+        are complete and contiguous) and persist the checkpoint, but do NOT
+        concat — a later resume() continues from here."""
+        self._finalize_segment()
+
+    def stop(self) -> int:
+        """Finalize the open segment, concat everything into out_path,
+        remove segments + checkpoint. Returns total frames in the video."""
+        self._finalize_segment()
+        total = sum(s["frames"] for s in self._segments)
+        if not self._segments:
+            return 0
+        if len(self._segments) == 1:
+            shutil.move(self._segments[0]["path"], self.out_path)
+        else:
+            concat_list = self.seg_dir / "concat.txt"
+            concat_list.write_text("".join(
+                f"file '{pathlib.Path(s['path']).resolve()}'\n"
+                for s in self._segments
+            ))
+            import subprocess
+
+            cmd = (
+                f'ffmpeg -y -f concat -safe 0 -i "{concat_list}" -c copy '
+                f'"{self.out_path}"'
+            )
+            proc = subprocess.run(cmd, shell=True, capture_output=True)
+            if proc.returncode != 0:
+                raise IOError(
+                    f"ffmpeg concat failed ({proc.returncode}): "
+                    f"{proc.stderr.decode(errors='replace')[-500:]}"
+                )
+        shutil.rmtree(self.seg_dir, ignore_errors=True)
+        if self._ckpt.exists():
+            self._ckpt.unlink()
+        self._segments = []
+        return total
+
+
 class VideoRecorder:
     """Streaming recorder with the reference's start/capture/stop lifecycle
     (main.cpp:52-124), backed by the async native frame sink."""

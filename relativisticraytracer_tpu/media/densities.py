@@ -38,34 +38,64 @@ def disk_temperature(scene: SceneConfig, r: jnp.ndarray) -> jnp.ndarray:
 DISK_STREAK_MAX = 30.02
 
 
+# smoothstep(a, b, x) >= 0.001 requires |x - a| >= t1*|b - a| with t1 the
+# root of 3t^2 - 2t^3 = 0.001 (solved once, rounded UP so the excluded band
+# is never overestimated after the 0.999 safety factors below).
+_SMOOTHSTEP_T1 = 0.018377
+
+
 def disk_probe_bounds(scene: SceneConfig):
     """Cheap per-step skip probe for the disk (static Python floats).
 
-    d_disk <= envelope * DISK_STREAK_MAX and envelope <= exp(-y^2/(2 h_max^2
-    + 1e-7)) with h_max = disk_h_m (radial/edge factors <= 1 in the annulus),
-    so d_disk can only exceed the 0.001 emission gate when |y| < y_bound and
-    r_cyl is inside a (1-ulp widened) annulus. ~10 VPU ops instead of the
-    full envelope; skipping on this probe is exact."""
+    Returns (k2, r_lo2, r_hi2): the disk can pass its 0.001 emission gate
+    only where  y^4 * r_cyl^2 < k2  and  r_lo2 <= r_cyl^2 <= r_hi2.
+
+    Derivation: d_disk <= envelope * DISK_STREAK_MAX, and in the annulus
+    envelope <= exp(-y^2 / (2 h(r)^2 + 1e-7)) with the FLARING height
+    h(r)^2 = disk_h^2 * isco / r (densities.h:32-33) — so the vertical band
+    shrinks with radius: requiring emission > 0.001 forces
+        y^2 * r < 2 * disk_h^2 * isco * L + 1e-7 * L * r     (L = ln 30020)
+    which squares to the division-free probe y^4 * r_cyl^2 < k2 (both sides
+    non-negative). At r = isco this equals the old constant band (~3.63 for
+    the reference scene); at the outer edge it tightens to ~2.30. r_hi also
+    folds the quadratic edge falloff (densities.h:25-30). Skipping on this
+    probe is exact: False => the step contributes nothing."""
     import math
 
-    h2 = 2.0 * scene.disk_h_m * scene.disk_h_m + 1e-7
-    y_bound = math.sqrt(h2 * math.log(DISK_STREAK_MAX / 0.001)) * 1.001
+    big_l = math.log(DISK_STREAK_MAX / 0.001)
+    # edge falloff: ef = (out - r)/(out - 0.85 out), need ef^2 * 30.02 > 0.001
+    t0 = math.sqrt(0.001 / DISK_STREAK_MAX)
+    r_hi = scene.disk_out_m * (1.0 - 0.15 * t0 * 0.999)
+    k = (2.0 * scene.disk_h_m ** 2 * scene.isco_radius * big_l
+         + 1e-7 * big_l * r_hi) * 1.0001
+    k2 = k * k
     r_lo2 = (scene.isco_radius * 0.99999) ** 2
-    r_hi2 = (scene.disk_out_m * 1.00001) ** 2
-    return y_bound, r_lo2, r_hi2
+    r_hi2 = (r_hi * 1.00001) ** 2
+    return k2, r_lo2, r_hi2
 
 
 def cloud_probe_bounds(scene: SceneConfig):
-    """Same idea for the clouds: base >= 0.001 (the reference's own early-out,
-    densities.h:85) requires |y| < y_bound with h_max = 0.5*cloud_h_m."""
+    """Same idea for the clouds. Returns (k2, r_lo2, r_hi2): the cloud base
+    can pass the reference's own 0.001 early-out (densities.h:85) only where
+    y^10 * r_cyl^2 < k2  and  r_lo2 <= r_cyl^2 <= r_hi2.
+
+    Vertical profile h(r) = 0.5 * cloud_h * (isco/r)^0.2 (densities.h:80-81)
+    gives  y^2 * r^0.4 < C = 0.5 * cloud_h^2 * isco^0.4 * ln(1000) (+eps),
+    which raised to the 5th power is the pow-free probe
+    y^10 * r_cyl^2 < C^5. r_lo folds the inner smoothstep taper
+    (isco -> isco+5, densities.h:77) and r_hi the outer smoothstep edge
+    (0.8*disk_out -> disk_out, densities.h:74)."""
     import math
 
-    h_max = scene.cloud_h_m * 0.5
-    h2 = 2.0 * h_max * h_max + 1e-7
-    y_bound = math.sqrt(h2 * math.log(1000.0)) * 1.001
-    r_lo2 = (scene.isco_radius * 0.99999) ** 2
-    r_hi2 = (scene.disk_out_m * 1.00001) ** 2
-    return y_bound, r_lo2, r_hi2
+    big_l = math.log(1000.0)
+    r_hi = scene.disk_out_m * (1.0 - 0.2 * _SMOOTHSTEP_T1 * 0.999)
+    c = (0.5 * scene.cloud_h_m ** 2 * scene.isco_radius ** 0.4 * big_l
+         + 1e-7 * big_l * r_hi ** 0.4) * 1.0001
+    k2 = c ** 5
+    r_lo = scene.isco_radius + 5.0 * _SMOOTHSTEP_T1 * 0.999
+    r_lo2 = (r_lo * 0.99999) ** 2
+    r_hi2 = (r_hi * 1.00001) ** 2
+    return k2, r_lo2, r_hi2
 
 
 def accretion_envelope(scene: SceneConfig, p: Vec3):

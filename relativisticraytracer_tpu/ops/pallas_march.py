@@ -47,8 +47,14 @@ from relativisticraytracer_tpu.render.postfx import (
     apply_lens_distortion,
     downsample_box,
     pack_rgba8,
+    pack_rgba8_word,
+    word_to_rgba8,
 )
-from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
+from relativisticraytracer_tpu.render.skybox import (
+    Skybox,
+    quad_bilinear,
+    sky_coords,
+)
 
 # Default IMAGE-SPACE block: each kernel invocation owns a compact
 # (BLOCK_H, BLOCK_W) pixel rectangle, laid out as a (BLOCK_H*BLOCK_W/128,
@@ -64,12 +70,11 @@ UNROLL = 8
 GROUP_ROWS = 0
 
 
-def _run_march_loop(scene: SceneConfig, max_steps: int, unroll: int,
-                    group_rows: int, t, make_state, tile_rows,
-                    ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
-                    vx_ref, vy_ref, vz_ref):
+def _march_tile_loop(scene: SceneConfig, max_steps: int, unroll: int,
+                     group_rows: int, t, make_state, tile_rows):
     """Shared tile march loop: builds per-row-group states via
-    `make_state(slice)`, runs the early-exit while loop, writes outputs."""
+    `make_state(slice)`, runs the early-exit while loop, and returns the
+    final per-slice states as [(slice, MarchState), ...]."""
     n_groups = max(1, tile_rows // group_rows) if group_rows else 1
     gr = tile_rows // n_groups
 
@@ -110,9 +115,16 @@ def _run_march_loop(scene: SceneConfig, max_steps: int, unroll: int,
     _, carries = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tuple(pack_one(st) for st in states))
     )
+    return [(sl, unpack_one(c)) for sl, c in zip(slices, carries)]
 
-    for sl, c in zip(slices, carries):
-        state = unpack_one(c)
+
+def _run_march_loop(scene: SceneConfig, max_steps: int, unroll: int,
+                    group_rows: int, t, make_state, tile_rows,
+                    ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                    vx_ref, vy_ref, vz_ref):
+    """March the tile and write the raw state planes (plane-output kernels)."""
+    for sl, state in _march_tile_loop(scene, max_steps, unroll, group_rows,
+                                      t, make_state, tile_rows):
         ir_ref[sl] = state.intensity.x
         ig_ref[sl] = state.intensity.y
         ib_ref[sl] = state.intensity.z
@@ -149,16 +161,12 @@ def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
                     vx_ref, vy_ref, vz_ref)
 
 
-def _march_camera_kernel(scene: SceneConfig, max_steps: int, unroll: int,
-                         group_rows: int, width: int, height: int,
-                         block_h: int, block_w: int, nbx: int,
-                         scal_ref,
-                         ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
-                         vx_ref, vy_ref, vz_ref):
-    """Fully fused kernel: primary rays are GENERATED in-kernel from the
-    camera basis (15 SMEM scalars) and the tile's pixel coordinates —
-    no ray planes ever touch HBM. Ray-gen semantics match
-    render/camera.generate_rays exactly (raymarcher.cu:20-34)."""
+def _gen_tile_rays(scal_ref, width: int, height: int,
+                   block_h: int, block_w: int, nbx: int):
+    """In-kernel primary-ray generation from the camera basis (SMEM scalars
+    [0..14] = time, pos, fwd, right, up, use_ld, ld_k) and the tile's pixel
+    coordinates. Semantics match render/camera.generate_rays exactly
+    (raymarcher.cu:20-34). Returns (t, cam_pos, rd)."""
     t = scal_ref[0]
     cam_pos = (scal_ref[1], scal_ref[2], scal_ref[3])
     fwd = (scal_ref[4], scal_ref[5], scal_ref[6])
@@ -197,6 +205,21 @@ def _march_camera_kernel(scene: SceneConfig, max_steps: int, unroll: int,
             fwd[2] + u * right[2] + v * up[2],
         )
     )
+    return t, cam_pos, rd
+
+
+def _march_camera_kernel(scene: SceneConfig, max_steps: int, unroll: int,
+                         group_rows: int, width: int, height: int,
+                         block_h: int, block_w: int, nbx: int,
+                         scal_ref,
+                         ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                         vx_ref, vy_ref, vz_ref):
+    """Fully fused kernel: primary rays are GENERATED in-kernel from the
+    camera basis (15 SMEM scalars) and the tile's pixel coordinates —
+    no ray planes ever touch HBM."""
+    t, cam_pos, rd = _gen_tile_rays(scal_ref, width, height,
+                                    block_h, block_w, nbx)
+    tile_rows = (block_h * block_w) // 128
 
     def make_state(sl):
         zeros = jnp.zeros_like(rd.x[sl])
@@ -406,6 +429,155 @@ def march_pallas_camera(
     )
 
 
+def _march_camera_sky_kernel(scene: SceneConfig, max_steps: int, unroll: int,
+                             group_rows: int, width: int, height: int,
+                             block_h: int, block_w: int, nbx: int,
+                             sky_h: int, sky_w: int,
+                             scal_ref,
+                             ir_ref, ig_ref, ib_ref, tr_ref,
+                             idx_refs, fx_refs, fy_refs):
+    """March + in-kernel skybox ADDRESSING epilogue: after the tile's march
+    loop finishes, the escape directions are converted to per-channel
+    equirect gather coordinates (flat quad index + bilinear fractions)
+    INSIDE the kernel — the reference does its sky math inside the CUDA
+    kernel too (raymarcher.cu:128-146). Only the irreducible HBM gather of
+    the 3 quads (96 bits/pixel) remains outside, followed by a fully fused
+    elementwise epilogue. Velocity/hit planes never touch HBM; horizon rays
+    need no special-casing because their transmittance is exactly 0 (set at
+    capture, raymarcher.cu:49), which zero-weights whatever the gather
+    returns."""
+    t, cam_pos, rd = _gen_tile_rays(scal_ref, width, height,
+                                    block_h, block_w, nbx)
+    ca_eff = scal_ref[15]
+    tile_rows = (block_h * block_w) // 128
+
+    def make_state(sl):
+        zeros = jnp.zeros_like(rd.x[sl])
+        return MarchState(
+            p=Vec3(zeros + cam_pos[0], zeros + cam_pos[1], zeros + cam_pos[2]),
+            v=Vec3(rd.x[sl], rd.y[sl], rd.z[sl]),
+            intensity=Vec3(zeros, zeros, zeros),
+            transmittance=jnp.ones_like(zeros),
+            hit_horizon=jnp.zeros_like(zeros, dtype=bool),
+            active=jnp.ones_like(zeros, dtype=bool),
+        )
+
+    for sl, state in _march_tile_loop(scene, max_steps, unroll, group_rows,
+                                      t, make_state, tile_rows):
+        ir_ref[sl] = state.intensity.x
+        ig_ref[sl] = state.intensity.y
+        ib_ref[sl] = state.intensity.z
+        tr_ref[sl] = state.transmittance
+        d = normalize(state.v)
+        for (idx, fx, fy), idx_ref, fx_ref, fy_ref in zip(
+            sky_coords(d, ca_eff, sky_h, sky_w), idx_refs, fx_refs, fy_refs
+        ):
+            idx_ref[sl] = idx
+            fx_ref[sl] = fx
+            fy_ref[sl] = fy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scene", "width", "height", "max_steps", "sky_h", "sky_w",
+        "block_h", "block_w", "unroll", "group_rows", "interpret",
+    ),
+)
+def march_pallas_camera_sky(
+    scene: SceneConfig,
+    camera,
+    effects: CameraEffects,
+    time,
+    width: int,
+    height: int,
+    max_steps: int,
+    sky_h: int,
+    sky_w: int,
+    block_h: int = BLOCK_H,
+    block_w: int = BLOCK_W,
+    unroll: int = UNROLL,
+    group_rows: int = GROUP_ROWS,
+    interpret: bool = False,
+):
+    """Fused march with in-kernel ray generation AND in-kernel sky gather
+    addressing. Returns lane-tile-layout planes (NOT unpacked to (H, W) —
+    the elementwise epilogue runs in lane layout and only the final packed
+    frame is re-tiled, see render_frame_pallas):
+
+      (intensity Vec3, transmittance,
+       (idx_r, idx_g, idx_b) int32, (fx_r, fx_g, fx_b), (fy_r, fy_g, fy_b)).
+    """
+    if (block_h * block_w) % 128:
+        raise ValueError("block_h*block_w must be a multiple of 128")
+    hp, wp = _round_up(height, block_h), _round_up(width, block_w)
+    nby, nbx = hp // block_h, wp // block_w
+    num_blocks = nby * nbx
+    tile_rows = (block_h * block_w) // 128
+
+    # Effective CA offset: 0.0 while the effect is off — then all three
+    # channel coordinate sets are bitwise the G set (raymarcher.cu:131-145).
+    ca_eff = jnp.where(
+        effects.use_chromatic_aberration > 0.5,
+        effects.ca_amount, jnp.float32(0.0),
+    )
+    scal = jnp.concatenate([
+        jnp.asarray(time, jnp.float32).reshape(1),
+        jnp.asarray(camera.pos, jnp.float32).reshape(3),
+        jnp.asarray(camera.forward, jnp.float32).reshape(3),
+        jnp.asarray(camera.right, jnp.float32).reshape(3),
+        jnp.asarray(camera.up, jnp.float32).reshape(3),
+        jnp.asarray(effects.use_lens_distortion, jnp.float32).reshape(1),
+        jnp.asarray(effects.distortion_amount, jnp.float32).reshape(1),
+        jnp.asarray(ca_eff, jnp.float32).reshape(1),
+    ])
+
+    tile_spec = pl.BlockSpec(
+        (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    fshape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.int32)
+
+    unroll = largest_divisor_at_most(max_steps, unroll)
+    if group_rows:
+        group_rows = largest_divisor_at_most(tile_rows, group_rows)
+
+    def kernel(scal_ref, ir, ig, ib, tr, ixr, ixg, ixb,
+               fxr, fxg, fxb, fyr, fyg, fyb):
+        _march_camera_sky_kernel(
+            scene, max_steps, unroll, group_rows, width, height,
+            block_h, block_w, nbx, sky_h, sky_w, scal_ref,
+            ir, ig, ib, tr, (ixr, ixg, ixb), (fxr, fxg, fxb),
+            (fyr, fyg, fyb),
+        )
+
+    avg_steps = max(1, max_steps // 3)
+    cost = pl.CostEstimate(
+        flops=int(hp * wp) * avg_steps * 320,
+        bytes_accessed=int(hp * wp) * 4 * 13,
+        transcendentals=int(hp * wp) * avg_steps * 8,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],  # scalars (16,)
+        out_specs=[tile_spec] * 13,
+        out_shape=[fshape] * 4 + [ishape] * 3 + [fshape] * 6,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(scal)
+
+    ir, ig, ib, tr = outs[:4]
+    idx3 = tuple(outs[4:7])
+    fx3 = tuple(outs[7:10])
+    fy3 = tuple(outs[10:13])
+    return Vec3(ir, ig, ib), tr, idx3, fx3, fy3
+
+
 def _uv_planes(width: int, height: int, effects: CameraEffects):
     """The (possibly distorted) uv planes for the vignette — same math as
     generate_rays (raymarcher.cu:20-25) without the ray basis work."""
@@ -425,33 +597,103 @@ def render_frame_pallas(
     effects: CameraEffects,
     time,
     sky: Optional[Skybox],
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for render/pipeline.render_frame using the fused
-    tile kernel (with in-kernel ray generation) for the march. Same
-    semantics, same output."""
-    ss = settings.supersample
-    intensity, trans, hit, vel = march_pallas_camera(
-        scene, camera, effects, jnp.asarray(time, jnp.float32),
-        settings.width * ss, settings.height * ss, settings.max_steps,
-    )
-    uv_x, uv_y = _uv_planes(settings.width * ss, settings.height * ss, effects)
+    tile kernel. Same semantics, same output.
 
-    d = normalize(vel)
-    if sky is not None:
-        bg = sample_sky(sky, d, effects)
-    else:
-        zero = jnp.zeros_like(d.x)
-        bg = Vec3(zero, zero, zero)
-    zero = jnp.zeros_like(trans)
-    bg = Vec3(
-        jnp.where(hit, zero, bg.x),
-        jnp.where(hit, zero, bg.y),
-        jnp.where(hit, zero, bg.z),
+    With a skybox, the fused kernel emits gather coordinates directly (sky
+    addressing happens in-kernel, matching raymarcher.cu:128-146); outside
+    the kernel only the irreducible 3-quad HBM gather plus ONE fused
+    elementwise epilogue pass remain, all in lane-tile layout — the frame is
+    re-tiled to (H, W) exactly once, as a packed uint32 word per pixel."""
+    ss = settings.supersample
+    w, h = settings.width * ss, settings.height * ss
+    if sky is None:
+        return _render_frame_pallas_nosky(
+            scene, settings, camera, effects, time, interpret=interpret)
+
+    sky_h, sky_w = sky.shape
+    # block-padded dims (static Python ints — must NOT round-trip through
+    # the jitted kernel call, where they would become tracers)
+    hp, wp = _round_up(h, BLOCK_H), _round_up(w, BLOCK_W)
+    intensity, trans, idx3, fx3, fy3 = march_pallas_camera_sky(
+        scene, camera, effects, jnp.asarray(time, jnp.float32),
+        w, h, settings.max_steps, sky_h, sky_w, interpret=interpret,
     )
+
+    # The sky gather — 96 bits/pixel is the information floor. CA off (the
+    # reference default): all channels share the G index, so ONE row-gather
+    # of the interleaved q4 table fetches everything (~3x faster than three
+    # element-gathers, see Skybox docstring). CA on: per-channel gathers
+    # with the phi-offset indices (raymarcher.cu:131-145).
+    def bg_shared(_):
+        t4 = jnp.take(sky.q4, idx3[1], axis=0)
+        return tuple(
+            quad_bilinear(t4[..., c], fx3[1], fy3[1]) for c in range(3)
+        )
+
+    def bg_ca(_):
+        planes = (sky.qr, sky.qg, sky.qb)
+        return tuple(
+            quad_bilinear(jnp.take(plane.reshape(-1), idx), fx, fy)
+            for plane, idx, fx, fy in zip(planes, idx3, fx3, fy3)
+        )
+
+    bg = Vec3(*jax.lax.cond(
+        effects.use_chromatic_aberration > 0.5, bg_ca, bg_shared, None
+    ))
+
+    # Captured rays have transmittance == 0 (raymarcher.cu:49), which
+    # zero-weights the background — no hit mask needed.
     hdr = Vec3(
         intensity.x + bg.x * trans,
         intensity.y + bg.y * trans,
         intensity.z + bg.z * trans,
     )
-    ldr = apply_effects_and_tonemap(hdr, uv_x, uv_y, effects, scene.exposure)
+
+    # Vignette/distortion uv, remapped into the same lane-tile layout.
+    uv_x, uv_y = _uv_planes(w, h, effects)
+
+    def lanes(a):
+        return _to_lane_tiles(
+            jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge"),
+            BLOCK_H, BLOCK_W,
+        )
+
+    ldr = apply_effects_and_tonemap(
+        hdr, lanes(uv_x), lanes(uv_y), effects, scene.exposure
+    )
+
+    if ss != 1:
+        def unlane(a):
+            return _from_lane_tiles(a, hp, wp, BLOCK_H, BLOCK_W)[:h, :w]
+
+        ldr = Vec3(unlane(ldr.x), unlane(ldr.y), unlane(ldr.z))
+        return pack_rgba8(downsample_box(ldr, ss))
+
+    word = pack_rgba8_word(ldr)
+    word = _from_lane_tiles(word, hp, wp, BLOCK_H, BLOCK_W)[:h, :w]
+    return word_to_rgba8(word)
+
+
+def _render_frame_pallas_nosky(
+    scene: SceneConfig,
+    settings: RenderSettings,
+    camera,
+    effects: CameraEffects,
+    time,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Skybox-less variant (black background) on the plane-output kernel."""
+    ss = settings.supersample
+    intensity, trans, hit, vel = march_pallas_camera(
+        scene, camera, effects, jnp.asarray(time, jnp.float32),
+        settings.width * ss, settings.height * ss, settings.max_steps,
+        interpret=interpret,
+    )
+    uv_x, uv_y = _uv_planes(settings.width * ss, settings.height * ss, effects)
+    ldr = apply_effects_and_tonemap(
+        intensity, uv_x, uv_y, effects, scene.exposure
+    )
     return pack_rgba8(downsample_box(ldr, ss))

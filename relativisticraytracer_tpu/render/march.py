@@ -81,23 +81,24 @@ def media_probes(scene: SceneConfig, rel: Vec3, in_disk_zone, in_cloud_zone,
     cannot pass the 0.001 emission gate (see densities.disk_probe_bounds /
     cloud_probe_bounds). Skipping steps where no ray probes True is exact."""
     r_cyl2 = rel.x * rel.x + rel.z * rel.z
-    abs_y = jnp.abs(rel.y)
+    y2 = rel.y * rel.y
+    y4 = y2 * y2
     probe_disk = probe_cloud = None
     if scene.enable_disk:
-        yb, rlo2, rhi2 = densities_mod.disk_probe_bounds(scene)
+        k2, rlo2, rhi2 = densities_mod.disk_probe_bounds(scene)
         probe_disk = jnp.logical_and(
             jnp.logical_and(active, in_disk_zone),
             jnp.logical_and(
-                abs_y < yb,
+                y4 * r_cyl2 < k2,
                 jnp.logical_and(r_cyl2 >= rlo2, r_cyl2 <= rhi2),
             ),
         )
     if scene.enable_clouds:
-        yb, rlo2, rhi2 = densities_mod.cloud_probe_bounds(scene)
+        k2, rlo2, rhi2 = densities_mod.cloud_probe_bounds(scene)
         probe_cloud = jnp.logical_and(
             jnp.logical_and(active, in_cloud_zone),
             jnp.logical_and(
-                abs_y < yb,
+                (y4 * y4 * y2) * r_cyl2 < k2,
                 jnp.logical_and(r_cyl2 >= rlo2, r_cyl2 <= rhi2),
             ),
         )

@@ -107,6 +107,7 @@ class Renderer:
 
             self.sky = skybox_from_array(skybox_rgba)
         self._fn = _compiled_render(scene, settings)
+        self._sky_cache: dict = {}
 
     def render(
         self,
@@ -122,3 +123,28 @@ class Renderer:
     def render_np(self, camera, effects=None, time: float = 0.0) -> np.ndarray:
         """Render and fetch to host (the analog of the PBO readback)."""
         return np.asarray(self.render(camera, effects, time))
+
+    def _sky_on(self, device):
+        """Per-device replica of the skybox (one-time upload per chip)."""
+        if self.sky is None or device is None:
+            return self.sky
+        if device not in self._sky_cache:
+            self._sky_cache[device] = jax.device_put(self.sky, device)
+        return self._sky_cache[device]
+
+    def render_on(self, device, camera, effects=None,
+                  time: float = 0.0) -> jnp.ndarray:
+        """Dispatch one frame on a SPECIFIC jax.Device (returns the device
+        array without blocking). Frames are mutually independent, so an
+        animation round-robins them across chips with zero communication —
+        the frame-parallel complement to parallel/sharding's spatial tiling
+        (reference recording loop: src/main.cpp:505-529, at N-chip
+        throughput)."""
+        if effects is None:
+            effects = CameraEffects()
+        if device is None:
+            return self._fn(camera, effects, jnp.float32(time), self.sky)
+        camera, effects, t = jax.device_put(
+            (camera, effects, jnp.float32(time)), device
+        )
+        return self._fn(camera, effects, t, self._sky_on(device))

@@ -102,6 +102,30 @@ def pack_rgba8(ldr: Vec3) -> jnp.ndarray:
     return jnp.stack([r, g, b, a], axis=-1)
 
 
+def pack_rgba8_word(ldr: Vec3) -> jnp.ndarray:
+    """float [0,1) -> one uint32 word per pixel, R|G<<8|B<<16|255<<24 —
+    bitcast_convert_type to uint8 yields the same RGBA byte order as
+    pack_rgba8 (little-endian byte 0 = low bits; asserted by tests). Same
+    truncating cast as pack_rgba8 (raymarcher.cu:168-172). Used by the
+    fused Pallas path so the whole epilogue stays one elementwise pass."""
+    def chan(c):
+        return jnp.clip(c * 255.0, 0.0, 255.0).astype(jnp.uint32)
+
+    return (
+        chan(ldr.x)
+        | (chan(ldr.y) << 8)
+        | (chan(ldr.z) << 16)
+        | jnp.uint32(0xFF000000)
+    )
+
+
+def word_to_rgba8(word: jnp.ndarray) -> jnp.ndarray:
+    """uint32[H, W] packed pixels -> uint8[H, W, 4] RGBA."""
+    import jax
+
+    return jax.lax.bitcast_convert_type(word, jnp.uint8)
+
+
 def downsample_box(ldr: Vec3, s: int) -> Vec3:
     """SSAA resolve: (s*H, s*W) -> (H, W) box filter (post-tonemap).
     s is static; s=1 is the identity (reference behavior)."""

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from relativisticraytracer_tpu.config import PI
-from relativisticraytracer_tpu.core.fastmath import arcsin as _poly_arcsin  # noqa: F401 (kernel-safe asin, for future in-kernel sampling)
+from relativisticraytracer_tpu.core.fastmath import arcsin as _arcsin
+from relativisticraytracer_tpu.core.fastmath import atan2 as _atan2
 from relativisticraytracer_tpu.core.noise import fbm, hash31
 from relativisticraytracer_tpu.core.vecmath import Vec3
 
@@ -39,11 +40,18 @@ class Skybox(NamedTuple):
     [H+1, W] plane where entry (y0+1, x0) packs the 2x2 bilinear footprint
     c(x0,ya) | c(x1,ya)<<8 | c(x0,yb)<<16 | c(x1,yb)<<24 with x1 = (x0+1)
     mod W (U-wrap) and (ya, yb) = (clip(y0), clip(y0+1)) (V-clamp); y0 spans
-    [-1, H-1]. Alpha is unused by the reference shading and dropped."""
+    [-1, H-1]. Alpha is unused by the reference shading and dropped.
+
+    `q4` is the channel-INTERLEAVED copy [(H+1)*W, 4] = (qr, qg, qb, 0)
+    rows: when chromatic aberration is off all three channels share one
+    gather index, so ONE row-gather fetches the full 96-bit bilinear
+    footprint — measured ~3x faster than three element-gathers on TPU
+    (XLA gather cost is per gathered SLICE, nearly flat in slice width)."""
 
     qr: jnp.ndarray
     qg: jnp.ndarray
     qb: jnp.ndarray
+    q4: jnp.ndarray
 
     @property
     def shape(self):
@@ -68,23 +76,27 @@ def skybox_from_array(rgba: np.ndarray) -> Skybox:
     rgba = np.asarray(rgba)
     if rgba.dtype != np.uint8:
         raise ValueError(f"skybox must be uint8, got {rgba.dtype}")
-    return Skybox(
-        jnp.asarray(_quad_pack(rgba[..., 0])),
-        jnp.asarray(_quad_pack(rgba[..., 1])),
-        jnp.asarray(_quad_pack(rgba[..., 2])),
+    qr = _quad_pack(rgba[..., 0])
+    qg = _quad_pack(rgba[..., 1])
+    qb = _quad_pack(rgba[..., 2])
+    q4 = np.stack(
+        [qr.reshape(-1), qg.reshape(-1), qb.reshape(-1),
+         np.zeros(qr.size, np.uint32)],
+        axis=-1,
     )
+    return Skybox(jnp.asarray(qr), jnp.asarray(qg), jnp.asarray(qb),
+                  jnp.asarray(q4))
 
 
-def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
-    """CUDA tex2D<float4> with normalized coords, linear filter, wrap-U,
-    clamp-V, normalized-float reads (main.cpp:255-261).
+def sky_coords_from_uv(h: int, w: int, tx: jnp.ndarray, ty: jnp.ndarray):
+    """CUDA tex2D addressing (main.cpp:255-261) -> (flat quad index, fx, fy).
 
-    Addressing: u in [0,1) wraps (u - floor(u)); the filtered sample sits at
+    u in [0,1) wraps (u - floor(u)); the filtered sample sits at
     (u*W - 0.5, v*H - 0.5) between texel centers; U taps wrap mod W, V taps
-    clamp to [0, H-1] independently. Texels read as uint8/255. One gather
-    per channel fetches the whole pre-packed 2x2 quad.
+    clamp to [0, H-1]. Built ONLY from kernel-safe ops (floor / select / int
+    convert — no mod, no gather) so the same code runs inside Pallas kernels
+    and in plain XLA bit-identically.
     """
-    h, w = tex.shape
     # wrap-U on the normalized coordinate, clamp-V
     ux = (tx - jnp.floor(tx)) * jnp.float32(w)
     vy = jnp.clip(ty, 0.0, 1.0) * jnp.float32(h)
@@ -96,34 +108,71 @@ def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
     fx = xb - x0
     fy = yb - y0
 
-    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    # ux in [0, W] => x0 in [-1, W-1]: one add-if-negative IS the mod.
+    x0i = x0.astype(jnp.int32)
+    x0i = jnp.where(x0i < 0, x0i + w, x0i)
     # vy in [0, H] => y0 in [-1, H-1]; quad planes are indexed by y0+1.
     yq = y0.astype(jnp.int32) + 1
-    idx = yq * w + x0i
+    return yq * w + x0i, fx, fy
 
-    inv255 = jnp.float32(1.0 / 255.0)
 
-    def chan(plane):
-        t = jnp.take(plane.reshape(-1), idx)
-        c00 = (t & jnp.uint32(0xFF)).astype(jnp.float32)
-        c10 = ((t >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
-        c01 = ((t >> 16) & jnp.uint32(0xFF)).astype(jnp.float32)
-        c11 = (t >> 24).astype(jnp.float32)
-        top = c00 + fx * (c10 - c00)
-        bot = c01 + fx * (c11 - c01)
-        return (top + fy * (bot - top)) * inv255
+def quad_bilinear(t: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
+    """Unpack one gathered uint32 quad (see Skybox) and bilinear-filter it
+    with fractional weights (fx, fy). Normalized-float read (uint8/255)."""
+    c00 = (t & jnp.uint32(0xFF)).astype(jnp.float32)
+    c10 = ((t >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
+    c01 = ((t >> 16) & jnp.uint32(0xFF)).astype(jnp.float32)
+    c11 = (t >> 24).astype(jnp.float32)
+    top = c00 + fx * (c10 - c00)
+    bot = c01 + fx * (c11 - c01)
+    return (top + fy * (bot - top)) * jnp.float32(1.0 / 255.0)
 
-    return Vec3(chan(tex.qr), chan(tex.qg), chan(tex.qb))
+
+def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:
+    """CUDA tex2D<float4> with normalized coords, linear filter, wrap-U,
+    clamp-V, normalized-float reads (main.cpp:255-261). One gather per
+    channel fetches the whole pre-packed 2x2 quad."""
+    h, w = tex.shape
+    idx, fx, fy = sky_coords_from_uv(h, w, tx, ty)
+    return Vec3(
+        quad_bilinear(jnp.take(tex.qr.reshape(-1), idx), fx, fy),
+        quad_bilinear(jnp.take(tex.qg.reshape(-1), idx), fx, fy),
+        quad_bilinear(jnp.take(tex.qb.reshape(-1), idx), fx, fy),
+    )
 
 
 def _equirect_uv(d: Vec3, phi_offset):
     """Direction -> equirect uv (raymarcher.cu:134-138):
-    tx = 0.5 + (atan2(z, x) + off) / 2pi;  ty = 0.5 - asin(y) / pi."""
-    phi = jnp.arctan2(d.z, d.x) + phi_offset
-    theta = jnp.arcsin(jnp.clip(d.y, -1.0, 1.0))
+    tx = 0.5 + (atan2(z, x) + off) / 2pi;  ty = 0.5 - asin(y) / pi.
+
+    Uses the framework's polynomial atan2/asin (~2 ulp; core/fastmath.py)
+    so the SAME code lowers inside Pallas kernels and in plain XLA — the
+    fused kernel path and the reference XLA path stay bit-identical."""
+    phi = _atan2(d.z, d.x) + phi_offset
+    theta = _arcsin(d.y)
     tx = 0.5 + phi / (2.0 * PI)
     ty = 0.5 - theta / PI
     return tx, ty
+
+
+def sky_coords(d: Vec3, ca_offset, h: int, w: int):
+    """Escape direction -> per-channel gather coordinates for the quad
+    planes: ((idx_r, fx_r, fy_r), (idx_g, ...), (idx_b, ...)).
+
+    `ca_offset` is the EFFECTIVE chromatic-aberration phi offset (0.0 when
+    the effect is off, in which case all three coordinate sets are equal —
+    the reference samples all channels at offset 0 then,
+    raymarcher.cu:131-145). Kernel-safe: runs inside the fused Pallas march
+    kernel and in XLA identically. atan2/asin are evaluated once; only the
+    phi offset differs per channel."""
+    phi = _atan2(d.z, d.x)
+    theta = _arcsin(d.y)
+    ty = 0.5 - theta / PI
+    out = []
+    for off in (ca_offset, jnp.float32(0.0), -ca_offset):
+        tx = 0.5 + (phi + off) / (2.0 * PI)
+        out.append(sky_coords_from_uv(h, w, tx, ty))
+    return tuple(out)
 
 
 def sample_sky(tex: Skybox, d: Vec3, effects) -> Vec3:

@@ -141,11 +141,23 @@ class Session:
 
 @dataclasses.dataclass
 class AnimationJob:
-    """Offline path-to-video render with checkpoint/resume.
+    """Offline path-to-video render with checkpoint/resume, pipelined
+    dispatch, and optional frame-parallel multi-chip rendering.
 
-    Frames are indexed on the fixed-step clock (frame k <-> t = k/fps), so a
-    killed job resumes at the first unwritten frame (raw-file sink appends;
-    an MP4 sink re-encodes from the rendered frame stream start).
+    Frames are indexed on the fixed-step clock (frame k <-> t = k/fps,
+    reference: main.cpp:511-515), so every frame is a pure function of
+    (path, k) and a killed job resumes at the first unwritten frame:
+      * raw-file sink (no ffmpeg): the file appends in place;
+      * MP4 sink: segment encoding (io/video.SegmentedRecorder) — one
+        finalized MP4 per checkpoint interval, losslessly concatenated at
+        the end, so encoder state survives a kill too.
+
+    Dispatch is double-buffered: up to `inflight` frames are in flight on
+    the device(s) while the host fetches/encodes earlier ones, hiding the
+    per-call host<->device latency (the reference's recording loop is
+    likewise throughput-bound, main.cpp:505-529). With `devices=[...]`,
+    frames round-robin across chips — zero communication, linear scaling —
+    the frame-parallel complement to parallel/sharding's spatial tiling.
     """
 
     path: CameraPath
@@ -167,9 +179,32 @@ class AnimationJob:
         )
         return int(round(duration * self.fps))
 
-    def run(self, resume: bool = True,
-            progress: Optional[Callable[[int, int, float], None]] = None) -> dict:
+    def _open_writer(self, resume: bool):
+        """Pick the sink and resolve the resume point. Returns
+        (capture, on_frame_done, finalize, abort, out_path, start_frame)."""
+        from relativisticraytracer_tpu.io.video import (
+            SegmentedRecorder,
+            ffmpeg_available,
+        )
+
         settings = self.renderer.settings
+        if ffmpeg_available() and self.out_path is not None:
+            seg = SegmentedRecorder(
+                settings.width, settings.height, self.fps,
+                out_path=self.out_path,
+                segment_frames=self.checkpoint_every,
+            )
+            start_frame = seg.resume() if resume else 0
+            if not resume:
+                # discard any stale checkpoint/segments from a prior run
+                import shutil as _shutil
+
+                _shutil.rmtree(seg.seg_dir, ignore_errors=True)
+                if seg._ckpt.exists():
+                    seg._ckpt.unlink()
+            return (seg.capture, lambda k: None, seg.stop, seg.abort,
+                    self.out_path, start_frame)
+
         rec = VideoRecorder(settings.width, settings.height, self.fps,
                             out_path=self.out_path)
         # Resolve the resume point BEFORE opening the sink so raw-file mode
@@ -194,25 +229,73 @@ class AnimationJob:
         out_path = rec.start(append_frames=start_frame)
         ckpt = self._checkpoint_path(out_path)
 
+        def on_frame_done(k_next: int) -> None:
+            if k_next % self.checkpoint_every == 0:
+                ckpt.write_text(json.dumps({"next_frame": k_next,
+                                            "out_path": out_path}))
+
+        def finalize() -> int:
+            written = rec.stop()
+            if ckpt.exists():
+                ckpt.unlink()
+            return written
+
+        return (rec.capture, on_frame_done, finalize, rec.stop, out_path,
+                start_frame)
+
+    def run(self, resume: bool = True,
+            progress: Optional[Callable[[int, int, float], None]] = None,
+            devices: Optional[list] = None,
+            inflight: Optional[int] = None) -> dict:
+        import collections
+
+        capture, on_frame_done, finalize, abort, out_path, start_frame = (
+            self._open_writer(resume)
+        )
+        devices = list(devices) if devices else [None]
+        depth = inflight if inflight is not None else max(2, 2 * len(devices))
+
         n = self.total_frames()
         t_start = _time.perf_counter()
         frame_ms = []
-        for k in range(start_frame, n):
-            t = (k + 1) / self.fps  # clock accumulates BEFORE render (main.cpp:515)
-            pos, yaw, pitch = interpolate_path(self.path, t)
-            cam = camera_state_from_pose(pos, yaw, pitch)
-            f0 = _time.perf_counter()
-            frame = self.renderer.render_np(cam, self.effects, t)
-            frame_ms.append((_time.perf_counter() - f0) * 1000.0)
-            rec.capture(frame)
+        pending = collections.deque()
+        last_done = t_start
+
+        def drain_one():
+            nonlocal last_done
+            k, dev_frame = pending.popleft()
+            frame = np.asarray(dev_frame)  # blocks until frame k is ready
+            capture(frame)
+            now = _time.perf_counter()
+            frame_ms.append((now - last_done) * 1000.0)
+            last_done = now
             if progress is not None:
                 progress(k + 1, n, frame_ms[-1])
-            if (k + 1) % self.checkpoint_every == 0:
-                ckpt.write_text(json.dumps({"next_frame": k + 1,
-                                            "out_path": out_path}))
-        written = rec.stop()
-        if ckpt.exists():
-            ckpt.unlink()
+            on_frame_done(k + 1)
+
+        try:
+            for k in range(start_frame, n):
+                t = (k + 1) / self.fps  # clock accumulates BEFORE render (main.cpp:515)
+                pos, yaw, pitch = interpolate_path(self.path, t)
+                cam = camera_state_from_pose(pos, yaw, pitch)
+                dev_frame = self.renderer.render_on(
+                    devices[(k - start_frame) % len(devices)],
+                    cam, self.effects, t,
+                )
+                pending.append((k, dev_frame))
+                while len(pending) >= depth:
+                    drain_one()
+            while pending:
+                drain_one()
+        except BaseException:
+            # Best-effort flush so the checkpoint reflects every frame that
+            # made it to the sink — the next run(resume=True) continues here.
+            import contextlib
+
+            with contextlib.suppress(Exception):
+                abort()
+            raise
+        written = finalize()
         wall = _time.perf_counter() - t_start
         stats = {
             "out_path": out_path,
@@ -220,7 +303,10 @@ class AnimationJob:
             "frames_written": written,
             "resumed_at": start_frame,
             "wall_s": wall,
-            "mean_frame_ms": float(np.mean(frame_ms)) if frame_ms else 0.0,
+            "devices": len(devices),
+            "mean_frame_ms": (
+                wall * 1000.0 / (n - start_frame) if n > start_frame else 0.0
+            ),
         }
         log.info("animation done: %s", stats)
         return stats

@@ -91,3 +91,50 @@ def test_densities_no_nan_everywhere(rng):
     for fn in (accretion_density, dust_cloud_density):
         out = np.asarray(fn(SCENE, _as_vec3(pts), jnp.float32(1.0)))
         assert np.all(np.isfinite(out))
+
+
+def test_probe_bounds_are_conservative(rng):
+    """The per-step skip probes (render/march.media_probes) may only be
+    False where the density provably cannot pass the 0.001 emission gate —
+    fuzz the bound over the whole media volume and several times."""
+    from relativisticraytracer_tpu.media.densities import (
+        cloud_probe_bounds,
+        disk_probe_bounds,
+    )
+
+    n = 4096
+    pts = np.stack(
+        [
+            rng.uniform(-30, 30, n),
+            rng.uniform(-5, 5, n),
+            rng.uniform(-30, 30, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    p = _as_vec3(pts)
+    r_cyl2 = p.x * p.x + p.z * p.z
+    y2 = p.y * p.y
+    y4 = y2 * y2
+
+    k2, rlo2, rhi2 = disk_probe_bounds(SCENE)
+    probe_disk = np.asarray(
+        (y4 * r_cyl2 < k2) & (r_cyl2 >= rlo2) & (r_cyl2 <= rhi2)
+    )
+    k2c, rlo2c, rhi2c = cloud_probe_bounds(SCENE)
+    probe_cloud = np.asarray(
+        ((y4 * y4 * y2) * r_cyl2 < k2c) & (r_cyl2 >= rlo2c) & (r_cyl2 <= rhi2c)
+    )
+
+    for t in (0.0, 1.7, 42.0):
+        d_disk = np.asarray(accretion_density(SCENE, p, jnp.float32(t)))
+        d_cloud = np.asarray(dust_cloud_density(SCENE, p, jnp.float32(t)))
+        assert np.all(d_disk[~probe_disk] <= 0.001), (
+            f"disk probe missed density {d_disk[~probe_disk].max()} at t={t}"
+        )
+        assert np.all(d_cloud[~probe_cloud] <= 0.001), (
+            f"cloud probe missed density {d_cloud[~probe_cloud].max()} at t={t}"
+        )
+    # and the probes are not trivially always-on: a decent share of the
+    # sampled box is proven skippable
+    assert probe_disk.mean() < 0.6
+    assert probe_cloud.mean() < 0.35

@@ -112,3 +112,118 @@ def test_camera_kernel_matches_plane_kernel():
             np.asarray(got), np.asarray(want), rtol=2e-6, atol=5e-7
         )
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+# ---------------------------------------------------------------------------
+# Fused sky path: in-kernel gather addressing + single-pass epilogue
+# ---------------------------------------------------------------------------
+
+def _fused_setup(w=96, h=64, steps=48, **scene_kw):
+    from relativisticraytracer_tpu.render.skybox import (
+        procedural_starfield,
+        skybox_from_array,
+    )
+
+    scene = SceneConfig(max_steps=steps, **scene_kw)
+    settings = RenderSettings(width=w, height=h, max_steps=steps, loop="while")
+    sky = skybox_from_array(procedural_starfield(32, 64))
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    return scene, settings, sky, cam
+
+
+@pytest.mark.parametrize("ca_on", [False, True])
+def test_fused_sky_frame_matches_xla(ca_on):
+    """render_frame_pallas (fused sky addressing in-kernel, q4 row-gather /
+    CA per-channel gathers, word pack) == the XLA reference path, to 1 LSB."""
+    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+    from relativisticraytracer_tpu.render.pipeline import render_frame
+
+    scene, settings, sky, cam = _fused_setup()
+    eff = CameraEffects(use_chromatic_aberration=1.0 if ca_on else 0.0)
+    got = np.asarray(render_frame_pallas(
+        scene, settings, cam, eff, 1.5, sky, interpret=INTERPRET))
+    want = np.asarray(render_frame(scene, settings, cam, eff, 1.5, sky))
+    assert got.shape == want.shape == (64, 96, 4)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02
+
+
+def test_fused_sky_frame_nondivisible_and_kerr():
+    """Block-padded odd frame + spin term through the fused path."""
+    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+    from relativisticraytracer_tpu.render.pipeline import render_frame
+
+    scene, _, sky, cam = _fused_setup(steps=32, spin_a=0.9)
+    settings = RenderSettings(width=100, height=70, max_steps=32, loop="while")
+    eff = CameraEffects()
+    got = np.asarray(render_frame_pallas(
+        scene, settings, cam, eff, 0.5, sky, interpret=INTERPRET))
+    want = np.asarray(render_frame(scene, settings, cam, eff, 0.5, sky))
+    assert got.shape == (70, 100, 4)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+
+
+def test_fused_supersample_matches_xla():
+    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+    from relativisticraytracer_tpu.render.pipeline import render_frame
+
+    scene, _, sky, cam = _fused_setup(steps=32)
+    settings = RenderSettings(width=48, height=32, max_steps=32,
+                              loop="while", supersample=2)
+    eff = CameraEffects()
+    got = np.asarray(render_frame_pallas(
+        scene, settings, cam, eff, 1.0, sky, interpret=INTERPRET))
+    want = np.asarray(render_frame(scene, settings, cam, eff, 1.0, sky))
+    assert got.shape == (32, 48, 4)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+
+
+def test_fused_nosky_matches_xla():
+    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+    from relativisticraytracer_tpu.render.pipeline import render_frame
+
+    scene, settings, _, cam = _fused_setup(steps=32)
+    eff = CameraEffects()
+    got = np.asarray(render_frame_pallas(
+        scene, settings, cam, eff, 1.0, None, interpret=INTERPRET))
+    want = np.asarray(render_frame(scene, settings, cam, eff, 1.0, None))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+
+
+def test_pack_word_matches_pack_rgba8():
+    """uint32 word pack + bitcast must reproduce pack_rgba8's RGBA byte
+    order exactly (guards the little-endian bitcast assumption)."""
+    from relativisticraytracer_tpu.core.vecmath import Vec3
+    from relativisticraytracer_tpu.render.postfx import (
+        pack_rgba8,
+        pack_rgba8_word,
+        word_to_rgba8,
+    )
+
+    rng = np.random.default_rng(7)
+    ldr = Vec3(*[jnp.asarray(rng.uniform(-0.1, 1.2, (13, 17)),
+                             dtype=jnp.float32) for _ in range(3)])
+    a = np.asarray(pack_rgba8(ldr))
+    b = np.asarray(word_to_rgba8(pack_rgba8_word(ldr)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_path_traces_under_outer_jit():
+    """The CLI/Renderer path wraps render_frame_pallas in an OUTER jit —
+    everything inside (incl. pad widths derived from block-padded dims)
+    must stay static under tracing. Lowering alone exercises this
+    (regression: jitted march_pallas_camera_sky once returned hp/wp ints,
+    which became tracers feeding jnp.pad)."""
+    import functools
+
+    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+
+    scene, settings, sky, cam = _fused_setup(w=64, h=32, steps=8)
+    fn = functools.partial(
+        render_frame_pallas, scene, settings, interpret=INTERPRET)
+    out = jax.eval_shape(fn, cam, CameraEffects(), jnp.float32(1.0), sky)
+    assert out.shape == (32, 64, 4) and out.dtype == jnp.uint8

@@ -228,3 +228,24 @@ def test_full_frame_matches_oracle_kerr(sky_small):
     diff = got[..., :3].astype(int) - frame[..., :3].astype(int)
     rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
     assert rmse < 1e-3, f"RMSE {rmse}"
+
+
+def test_full_frame_matches_oracle_second_full_scene_pose(sky_small):
+    """VERDICT r1 #8: a second full-scene oracle pose — off-axis yaw,
+    camera BELOW the disk plane looking up, later sim time (different
+    noise phase + Doppler side)."""
+    w, h, steps = 12, 9, 500
+    scene = SceneConfig(max_steps=steps)
+    settings = RenderSettings(width=w, height=h, max_steps=steps, loop="while")
+    r = Renderer(scene, settings, skybox_rgba=sky_small)
+    pose = ((18.0, -5.0, -32.0), -25.0, 9.0)
+    t = 7.25
+    got = r.render_np(camera_state_from_pose(*pose), effects=CameraEffects(),
+                      time=t)
+    want = _oracle_frame(
+        w, h, pose, t, sky_small, steps,
+        enable_disk=True, enable_clouds=True, effects_on=True,
+    )
+    diff = got[..., :3].astype(int) - want[..., :3].astype(int)
+    rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
+    assert rmse < 2e-3, f"RMSE {rmse}"

@@ -36,12 +36,24 @@ from relativisticraytracer_tpu.runtime.app import AnimationJob  # noqa: E402
 OUT = pathlib.Path(__file__).resolve().parents[1] / "docs"
 
 
+def _sync(out):
+    """Hard sync: fetch an on-device scalar (block_until_ready alone can
+    return early under this environment's async RPC dispatch — PERF.md)."""
+    import jax.numpy as jnp
+
+    np.asarray(jnp.sum(out.ravel()[:16].astype(jnp.int32)))
+
+
 def _time_renderer(renderer, cam, effects, n=4):
-    renderer.render(cam, effects, 0.0).block_until_ready()  # compile
     t0 = _time.perf_counter()
-    outs = [renderer.render(cam, effects, 1.0 + i / 24.0) for i in range(n)]
-    jax.block_until_ready(outs)
-    return (_time.perf_counter() - t0) * 1000.0 / n
+    _sync(renderer.render(cam, effects, 0.0))  # compile + warm
+    compile_s = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    out = None
+    for i in range(n):
+        out = renderer.render(cam, effects, 1.0 + i / 24.0)
+    _sync(out)
+    return (_time.perf_counter() - t0) * 1000.0 / n, compile_s
 
 
 def main():
@@ -59,21 +71,33 @@ def main():
     ]
     for name, scene, w, h, eff in ladder:
         r = Renderer(scene, RenderSettings(width=w, height=h), skybox_rgba=sky)
-        ms = _time_renderer(r, cam, eff)
+        ms, compile_s = _time_renderer(r, cam, eff)
         frame = r.render_np(cam, eff, 1.0)
         save_png(str(OUT / "gallery" / f"ladder_{name}.png"), frame)
         results.append({"config": name, "ms_per_frame": round(ms, 1),
+                        "compile_s": round(compile_s, 1),
                         "resolution": f"{w}x{h}", "max_steps": scene.max_steps})
         print(results[-1], flush=True)
 
-    # 5. animation -> video (2 s at 480x272, all effects, fixed-step clock)
+    # 5. animation -> video (2 s at 480x272, all effects, fixed-step clock).
+    # Warm up (compile) OUTSIDE the timed job so ms_per_frame is the steady
+    # pipelined throughput, and report compile time separately.
+    from relativisticraytracer_tpu.paths import interpolate_path
+
     r = Renderer(SceneConfig(), RenderSettings(width=480, height=272), skybox_rgba=sky)
-    job = AnimationJob(path=default_paths()[0], renderer=r, fps=24, duration=2.0,
+    path = default_paths()[0]
+    pos, yaw, pitch = interpolate_path(path, 1.0 / 24.0)
+    t0 = _time.perf_counter()
+    _sync(r.render(camera_state_from_pose(pos, yaw, pitch), CameraEffects(),
+                   1.0 / 24.0))
+    compile_s = _time.perf_counter() - t0
+    job = AnimationJob(path=path, renderer=r, fps=24, duration=2.0,
                        out_path="/tmp/ladder_anim.mp4")
     stats = job.run(resume=False)
     results.append({
         "config": "5_path_animation_480p", "frames": stats["frames"],
         "ms_per_frame": round(stats["mean_frame_ms"], 1),
+        "compile_s": round(compile_s, 1),
         "output": stats["out_path"],
     })
     print(results[-1], flush=True)
