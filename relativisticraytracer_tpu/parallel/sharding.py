@@ -32,7 +32,7 @@ from relativisticraytracer_tpu.render.postfx import (
     downsample_box,
     pack_rgba8,
 )
-from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky
+from relativisticraytracer_tpu.render.skybox import Skybox, sample_sky, sample_sky_fast
 
 AXIS_ROWS = "ty"
 AXIS_COLS = "tx"
@@ -106,7 +106,10 @@ def render_frame_sharded(
             )
             d = normalize(vel)
             if sky is not None:
-                bg = sample_sky(sky, d, effects)
+                # q4 row-gather (see skybox.sample_sky_fast): the multi-chip
+                # fast path uses the same gather economics as the fused
+                # single-chip kernel.
+                bg = sample_sky_fast(sky, d, effects)
             else:
                 zero = jnp.zeros_like(d.x)
                 bg = Vec3(zero, zero, zero)

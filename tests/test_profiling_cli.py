@@ -1,5 +1,6 @@
 """Observability helpers + command-line launcher."""
 
+import pytest
 import numpy as np
 
 from relativisticraytracer_tpu.__main__ import main as cli_main
@@ -70,3 +71,31 @@ def test_cli_anim(tmp_path, monkeypatch, capsys):
     raw = out.with_suffix(".rgba")
     assert raw.exists()
     assert raw.stat().st_size == 2 * 16 * 8 * 4
+
+
+def test_cli_interactive_args():
+    """`interactive` subcommand is wired: --help exits 0 and bad args fail."""
+    with pytest.raises(SystemExit) as e:
+        cli_main(["interactive", "--help"])
+    assert e.value.code == 0
+    with pytest.raises(SystemExit):
+        cli_main(["interactive", "--loop", "nonsense"])
+
+
+def test_cli_interactive_terminal(tmp_path, monkeypatch, capsys):
+    """The --terminal path renders at least one ANSI frame end to end."""
+    import relativisticraytracer_tpu.runtime.preview as preview
+
+    calls = {}
+    real = preview.run_terminal_preview
+
+    def capped(session, frames=0, width=100, fps_cap=15.0, out=None):
+        calls["width"] = width
+        return real(session, frames=1, width=width, fps_cap=1000.0, out=out)
+
+    monkeypatch.setattr(preview, "run_terminal_preview", capped)
+    cli_main(["interactive", "--terminal", "--term-width", "24",
+          "--width", "32", "--height", "16", "--max-steps", "8",
+          "--no-clouds"])
+    assert calls["width"] == 24
+    assert "▀" in capsys.readouterr().out

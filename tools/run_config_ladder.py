@@ -76,6 +76,7 @@ def main():
         save_png(str(OUT / "gallery" / f"ladder_{name}.png"), frame)
         results.append({"config": name, "ms_per_frame": round(ms, 1),
                         "compile_s": round(compile_s, 1),
+                        "meets_30fps": ms < 1000.0 / 30.0,
                         "resolution": f"{w}x{h}", "max_steps": scene.max_steps})
         print(results[-1], flush=True)
 
@@ -94,9 +95,15 @@ def main():
     job = AnimationJob(path=path, renderer=r, fps=24, duration=2.0,
                        out_path="/tmp/ladder_anim.mp4")
     stats = job.run(resume=False)
+    # still-render throughput at the same resolution/pose family, for the
+    # "animation ~= still throughput" sanity comparison (device-side only;
+    # the animation number additionally pays the per-frame host fetch).
+    still_ms, _ = _time_renderer(
+        r, camera_state_from_pose(pos, yaw, pitch), CameraEffects())
     results.append({
         "config": "5_path_animation_480p", "frames": stats["frames"],
         "ms_per_frame": round(stats["mean_frame_ms"], 1),
+        "still_throughput_ms_same_res": round(still_ms, 1),
         "compile_s": round(compile_s, 1),
         "output": stats["out_path"],
     })
