@@ -154,7 +154,10 @@ def main():
 
     if not args.no_parity:
         gate = parity_gate(settings.resolved_loop())
-        result["parity"] = "pass" if gate["pass"] else "fail"
+        if not gate["cases"]:
+            result["parity"] = "skipped"  # no goldens found — verified nothing
+        else:
+            result["parity"] = "pass" if gate["pass"] else "fail"
         result["parity_rmse"] = gate["cases"]
 
     print(json.dumps(result))

@@ -89,7 +89,8 @@ def cmd_interactive(args):
 
     session = Session(renderer=_build_renderer(args))
     if args.terminal:
-        run_terminal_preview(session, width=args.term_width)
+        run_terminal_preview(session, width=args.term_width,
+                             fps_cap=args.fps_cap)
         session.close()
         return
     server = PreviewServer(session, host=args.host, port=args.port,

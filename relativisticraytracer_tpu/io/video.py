@@ -172,18 +172,23 @@ class SegmentedRecorder:
         if len(self._segments) == 1:
             shutil.move(self._segments[0]["path"], self.out_path)
         else:
+            def quote(path: pathlib.Path) -> str:
+                # ffmpeg concat-list quoting: single quotes, inner quotes
+                # escaped as '\'' (no shell is involved anywhere here)
+                return "'" + str(path).replace("'", "'\\''") + "'"
+
             concat_list = self.seg_dir / "concat.txt"
             concat_list.write_text("".join(
-                f"file '{pathlib.Path(s['path']).resolve()}'\n"
+                f"file {quote(pathlib.Path(s['path']).resolve())}\n"
                 for s in self._segments
             ))
             import subprocess
 
-            cmd = (
-                f'ffmpeg -y -f concat -safe 0 -i "{concat_list}" -c copy '
-                f'"{self.out_path}"'
+            proc = subprocess.run(
+                ["ffmpeg", "-y", "-f", "concat", "-safe", "0",
+                 "-i", str(concat_list), "-c", "copy", self.out_path],
+                capture_output=True,
             )
-            proc = subprocess.run(cmd, shell=True, capture_output=True)
             if proc.returncode != 0:
                 raise IOError(
                     f"ffmpeg concat failed ({proc.returncode}): "

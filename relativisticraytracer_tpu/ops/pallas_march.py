@@ -640,9 +640,12 @@ def render_frame_pallas(
             for plane, idx, fx, fy in zip(planes, idx3, fx3, fy3)
         )
 
-    bg = Vec3(*jax.lax.cond(
-        effects.use_chromatic_aberration > 0.5, bg_ca, bg_shared, None
-    ))
+    if sky.q4 is None:  # no fast table: per-channel gathers (still correct)
+        bg = Vec3(*bg_ca(None))
+    else:
+        bg = Vec3(*jax.lax.cond(
+            effects.use_chromatic_aberration > 0.5, bg_ca, bg_shared, None
+        ))
 
     # Captured rays have transmittance == 0 (raymarcher.cu:49), which
     # zero-weights the background — no hit mask needed.

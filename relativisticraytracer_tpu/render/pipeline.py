@@ -105,7 +105,12 @@ class Renderer:
         if skybox_rgba is not None:
             from relativisticraytracer_tpu.render.skybox import skybox_from_array
 
-            self.sky = skybox_from_array(skybox_rgba)
+            # the interleaved fast-gather table only pays for itself on the
+            # fused kernel path; skip its ~2.3x HBM cost elsewhere
+            self.sky = skybox_from_array(
+                skybox_rgba,
+                fast_table=settings.resolved_loop() == "pallas",
+            )
         self._fn = _compiled_render(scene, settings)
         self._sky_cache: dict = {}
 

@@ -51,7 +51,7 @@ class Skybox(NamedTuple):
     qr: jnp.ndarray
     qg: jnp.ndarray
     qb: jnp.ndarray
-    q4: jnp.ndarray
+    q4: "jnp.ndarray | None" = None
 
     @property
     def shape(self):
@@ -70,22 +70,27 @@ def _quad_pack(plane: np.ndarray) -> np.ndarray:
     return p[ya] | (right[ya] << 8) | (p[yb] << 16) | (right[yb] << 24)
 
 
-def skybox_from_array(rgba: np.ndarray) -> Skybox:
+def skybox_from_array(rgba: np.ndarray, fast_table: bool = True) -> Skybox:
     """uint8 [H, W, 3or4] host image -> device Skybox (the one-time upload,
-    analog of cudaMemcpy2DToArray at main.cpp:247-248)."""
+    analog of cudaMemcpy2DToArray at main.cpp:247-248).
+
+    fast_table=False skips the interleaved q4 copy (saves ~2.3x skybox HBM)
+    for consumers that only use the per-channel XLA path — sample_sky_fast
+    and the fused kernel path then fall back to per-channel gathers."""
     rgba = np.asarray(rgba)
     if rgba.dtype != np.uint8:
         raise ValueError(f"skybox must be uint8, got {rgba.dtype}")
     qr = _quad_pack(rgba[..., 0])
     qg = _quad_pack(rgba[..., 1])
     qb = _quad_pack(rgba[..., 2])
-    q4 = np.stack(
-        [qr.reshape(-1), qg.reshape(-1), qb.reshape(-1),
-         np.zeros(qr.size, np.uint32)],
-        axis=-1,
-    )
-    return Skybox(jnp.asarray(qr), jnp.asarray(qg), jnp.asarray(qb),
-                  jnp.asarray(q4))
+    q4 = None
+    if fast_table:
+        q4 = jnp.asarray(np.stack(
+            [qr.reshape(-1), qg.reshape(-1), qb.reshape(-1),
+             np.zeros(qr.size, np.uint32)],
+            axis=-1,
+        ))
+    return Skybox(jnp.asarray(qr), jnp.asarray(qg), jnp.asarray(qb), q4)
 
 
 def sky_coords_from_uv(h: int, w: int, tx: jnp.ndarray, ty: jnp.ndarray):
@@ -227,6 +232,8 @@ def sample_sky_fast(tex: Skybox, d: Vec3, effects) -> Vec3:
             for plane, (idx, fx, fy) in zip(planes, coords)
         )
 
+    if tex.q4 is None:  # no fast table: per-channel gathers (still correct)
+        return Vec3(*bg_ca(None))
     return Vec3(*jax.lax.cond(
         effects.use_chromatic_aberration > 0.5, bg_ca, bg_shared, None
     ))

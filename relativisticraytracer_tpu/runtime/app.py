@@ -253,7 +253,7 @@ class AnimationJob:
             self._open_writer(resume)
         )
         devices = list(devices) if devices else [None]
-        depth = inflight if inflight is not None else max(2, 2 * len(devices))
+        depth = max(1, inflight) if inflight is not None else max(2, 2 * len(devices))
 
         n = self.total_frames()
         t_start = _time.perf_counter()

@@ -75,6 +75,7 @@ class PreviewServer:
         self.jpeg_quality = jpeg_quality
         self._frame_jpeg: Optional[bytes] = None
         self._frame_seq = 0
+        self._error: Optional[str] = None
         self._cond = threading.Condition()
         self._stop = threading.Event()
         self._render_thread: Optional[threading.Thread] = None
@@ -100,8 +101,12 @@ class PreviewServer:
                     self._send(200, "text/html; charset=utf-8",
                                _PAGE.encode())
                 elif path == "/status":
-                    self._send(200, "text/plain; charset=utf-8",
-                               server.session.status().encode())
+                    if server._error is not None:
+                        self._send(500, "text/plain; charset=utf-8",
+                                   f"render loop died: {server._error}".encode())
+                    else:
+                        self._send(200, "text/plain; charset=utf-8",
+                                   server.session.status().encode())
                 elif path == "/frame.jpg":
                     frame = server.wait_frame(None)
                     if frame is None:
@@ -180,17 +185,29 @@ class PreviewServer:
             return self._frame_jpeg, self._frame_seq
 
     def _render_loop(self) -> None:
+        import logging
+
         from PIL import Image
 
         last = _time.perf_counter()
         while not self._stop.is_set():
             now = _time.perf_counter()
             dt, last = now - last, now
-            frame = self.session.tick(dt)
-            buf = io.BytesIO()
-            Image.fromarray(frame[..., :3]).save(
-                buf, "JPEG", quality=self.jpeg_quality
-            )
+            try:
+                frame = self.session.tick(dt)
+                buf = io.BytesIO()
+                Image.fromarray(frame[..., :3]).save(
+                    buf, "JPEG", quality=self.jpeg_quality
+                )
+            except Exception as e:  # surface instead of freezing the viewer
+                logging.getLogger("relativisticraytracer_tpu").exception(
+                    "preview render loop died"
+                )
+                self._error = repr(e)
+                self._stop.set()
+                with self._cond:
+                    self._cond.notify_all()
+                return
             self._publish(buf.getvalue())
             # fps cap (don't melt the chip for an idle viewer)
             budget = 1.0 / self.fps_cap - (_time.perf_counter() - now)

@@ -227,3 +227,25 @@ def test_fused_path_traces_under_outer_jit():
         render_frame_pallas, scene, settings, interpret=INTERPRET)
     out = jax.eval_shape(fn, cam, CameraEffects(), jnp.float32(1.0), sky)
     assert out.shape == (32, 64, 4) and out.dtype == jnp.uint8
+
+
+def test_fused_sky_without_fast_table():
+    """q4=None (fast_table=False) must fall back to per-channel gathers and
+    still match the XLA path."""
+    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+    from relativisticraytracer_tpu.render.pipeline import render_frame
+    from relativisticraytracer_tpu.render.skybox import (
+        procedural_starfield,
+        skybox_from_array,
+    )
+
+    scene = SceneConfig(max_steps=32, enable_clouds=False)
+    settings = RenderSettings(width=64, height=32, max_steps=32, loop="while")
+    sky = skybox_from_array(procedural_starfield(16, 32), fast_table=False)
+    assert sky.q4 is None
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    eff = CameraEffects()
+    got = np.asarray(render_frame_pallas(
+        scene, settings, cam, eff, 1.0, sky, interpret=INTERPRET))
+    want = np.asarray(render_frame(scene, settings, cam, eff, 1.0, sky))
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -133,3 +133,32 @@ def test_terminal_preview():
     text = out.getvalue()
     assert "▀" in text
     assert "FPS" in text  # status line
+
+
+def test_render_loop_error_surfaces():
+    """A dying render loop must not freeze the viewer silently: /status
+    turns 500 with the error and the stream wakes up."""
+
+    class ExplodingSession:
+        def tick(self, dt):
+            raise RuntimeError("chip fell over")
+
+        def status(self):
+            return "FPS: 0"
+
+        def close(self):
+            pass
+
+    srv = PreviewServer(ExplodingSession(), host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        deadline = time.time() + 10
+        status = None
+        while time.time() < deadline:
+            status, _, body = _req(srv, "GET", "/status")
+            if status == 500:
+                break
+            time.sleep(0.05)
+        assert status == 500 and b"chip fell over" in body
+    finally:
+        srv.stop()
