@@ -87,10 +87,22 @@ def cmd_interactive(args):
         run_terminal_preview,
     )
 
+    import pathlib
+
     session = Session(renderer=_build_renderer(args))
+    if args.state and pathlib.Path(args.state).exists():
+        session.load_state(args.state)
+        print(f"restored session state from {args.state}")
+
+    def _save_state():
+        if args.state:
+            session.save_state(args.state)
+            print(f"saved session state to {args.state}")
+
     if args.terminal:
         run_terminal_preview(session, width=args.term_width,
                              fps_cap=args.fps_cap)
+        _save_state()
         session.close()
         return
     server = PreviewServer(session, host=args.host, port=args.port,
@@ -98,7 +110,10 @@ def cmd_interactive(args):
     print(f"live preview: http://{args.host}:{server.port}  "
           "(click to capture mouse; WASD fly, R rec, P path, N next, "
           "B/V/L/C effects; Ctrl-C to quit)")
-    server.serve_until_interrupt()
+    try:
+        server.serve_until_interrupt()
+    finally:
+        _save_state()
 
 
 def cmd_paths(_args):
@@ -143,6 +158,9 @@ def main(argv=None):
     p_live.add_argument("--terminal", action="store_true",
                         help="render to the terminal (ANSI half-blocks)")
     p_live.add_argument("--term-width", type=int, default=100)
+    p_live.add_argument("--state", default=None,
+                        help="JSON file to restore/persist the session "
+                             "(pose, clock, effects, path) across runs")
     p_live.set_defaults(fn=cmd_interactive)
 
     p_paths = sub.add_parser("paths", help="list built-in camera paths")

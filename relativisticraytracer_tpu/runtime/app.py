@@ -135,6 +135,37 @@ class Session:
             f"{name} | R:Rec P:Path N:Next"
         )
 
+    # --- state persistence (beyond the reference, which loses the pose on
+    # exit; pairs with AnimationJob's frame checkpointing for a fully
+    # resumable workflow) ---
+    def save_state(self, path: str) -> None:
+        """Persist pose/clock/effects/path selection to JSON."""
+        state = {
+            "pos": [float(v) for v in self.camera.pos],
+            "yaw": float(self.camera.yaw),
+            "pitch": float(self.camera.pitch),
+            "sim_time": self.sim_time,
+            "path_index": self.paths.current_path_index,
+            "path_active": self.paths.active,
+            "path_time": self.paths.path_time,
+            "effects": {
+                f.name: float(getattr(self.effects, f.name))
+                for f in dataclasses.fields(self.effects)
+            },
+        }
+        pathlib.Path(path).write_text(json.dumps(state, indent=2))
+
+    def load_state(self, path: str) -> None:
+        state = json.loads(pathlib.Path(path).read_text())
+        self.camera.pos = np.array(state["pos"], dtype=np.float32)
+        self.camera.yaw = state["yaw"]
+        self.camera.pitch = state["pitch"]
+        self.sim_time = state["sim_time"]
+        self.paths.current_path_index = state["path_index"]
+        self.paths.active = state["path_active"]
+        self.paths.path_time = state["path_time"]
+        self.effects = CameraEffects(**state["effects"])
+
     def close(self) -> None:
         self.recorder.stop()
 

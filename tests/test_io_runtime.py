@@ -364,3 +364,34 @@ def test_animation_frame_parallel_devices(tmp_path, monkeypatch):
     a = pathlib.Path(single["out_path"]).read_bytes()
     b = pathlib.Path(multi["out_path"]).read_bytes()
     assert a == b
+
+
+def test_session_state_roundtrip(tmp_path, monkeypatch):
+    """Session pose/clock/effects/path persist across instances."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    s1 = Session(renderer=_tiny_renderer())
+    s1.handle_key("b")          # bloom off
+    s1.handle_key("d")          # move right
+    s1.mouse(30.0, -5.0)
+    s1.handle_key("p")          # start path playback
+    s1.handle_key("n")
+    s1.tick(1.0 / 24.0)
+    state_file = tmp_path / "session.json"
+    s1.save_state(str(state_file))
+    s1.close()
+
+    s2 = Session(renderer=_tiny_renderer())
+    s2.load_state(str(state_file))
+    assert float(s2.effects.use_bloom) == 0.0
+    np.testing.assert_allclose(s2.camera.pos, s1.camera.pos)
+    assert s2.camera.yaw == s1.camera.yaw
+    assert s2.camera.pitch == s1.camera.pitch
+    assert s2.sim_time == s1.sim_time
+    assert s2.paths.active and s2.paths.current_path_index == 1
+    assert s2.paths.path_time == s1.paths.path_time
+    # and it renders from the restored state
+    frame = s2.tick(1.0 / 24.0)
+    assert frame.shape == (12, 16, 4)
+    s2.close()

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Gather A/B with HARD sync (fetch an on-device scalar reduction per call,
-so axon's async dispatch cannot hide execution). Cross-checks the 72 ms
-gather_only number from profile_stages vs the ~0.06 ms microbench number.
+so async dispatch cannot hide execution — `block_until_ready` alone let a
+physically-impossible 0.03 ms "gather" through in an earlier microbench;
+every timing tool here now fetches a scalar).
 
 Variables tested: table passed as jit argument vs captured closure
 constant; realistic (render-derived) vs uniform-random indices; flat

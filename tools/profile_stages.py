@@ -33,7 +33,9 @@ import numpy as np
 
 def timeit(fn, reps: int) -> float:
     """Median-of-3 throughput timing: `reps` pipelined dispatches, block
-    once. Returns ms per call."""
+    once. Returns ms per call. NB: results were cross-validated against the
+    hard-synced (on-device scalar fetch) timers in tools/bench_fused.py —
+    prefer those for new measurements (see PERF.md on block_until_ready)."""
     fn()  # warmup/compile
     jax.block_until_ready(fn())
     best = []
