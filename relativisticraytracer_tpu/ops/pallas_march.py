@@ -66,24 +66,28 @@ BLOCK_H = 32
 BLOCK_W = 128
 UNROLL = 8
 # Media-cond granularity (lane rows per independent sub-group). Whole-tile
-# (0) won the sweep: finer groups multiply the scf.while carry and spill.
+# (0) won both sweeps: the round-1 tuple-of-states grouping spilled VMEM,
+# and the carry-preserving slice-wise conds (march_step media_group_rows)
+# also lose on chip despite executing fewer media lane-steps — 230.2 ms
+# whole-tile vs 427.8 (groups=8) / 284.0 (groups=16) for the 1080p kernel;
+# the per-slice cond dispatch costs more than the 3.3x->2.6x lane-step
+# saving is worth (docs/media_fire.json).
 GROUP_ROWS = 0
 
 
 def _march_tile_loop(scene: SceneConfig, max_steps: int, unroll: int,
                      group_rows: int, t, make_state, tile_rows):
-    """Shared tile march loop: builds per-row-group states via
+    """Shared tile march loop: builds the tile state via
     `make_state(slice)`, runs the early-exit while loop, and returns the
-    final per-slice states as [(slice, MarchState), ...]."""
-    n_groups = max(1, tile_rows // group_rows) if group_rows else 1
-    gr = tile_rows // n_groups
+    final state as [(slice, MarchState)] (single whole-tile entry).
 
-    # The tile is carried as n_groups independent row-group states: each
-    # group gets its OWN media lax.cond (an 8x128 strip crosses the disk
-    # band over fewer steps than the whole tile does), while the exit check
-    # stays tile-level.
-    slices = [slice(g * gr, (g + 1) * gr) for g in range(n_groups)]
-    states = tuple(make_state(sl) for sl in slices)
+    group_rows=N runs the media skip conds at N-lane-row granularity INSIDE
+    march_step (slice-wise, carry-preserving — see march_step's
+    media_group_rows): a tile that clips the disk band only shades the rows
+    that might touch it. The while carry stays one tile state either way;
+    the earlier tuple-of-states grouping multiplied the carry and spilled
+    VMEM."""
+    state = make_state(slice(None))
 
     # Mosaic cannot carry i1 vectors through scf.while — ship the masks as
     # f32 0/1 planes across loop iterations and rebuild bools inside.
@@ -96,26 +100,24 @@ def _march_tile_loop(scene: SceneConfig, max_steps: int, unroll: int,
         return MarchState(p, v, inten, trans, hit_f > 0.5, act_f > 0.5)
 
     def cond(carry):
-        i, cs = carry
-        alive = jnp.any(cs[0][5] > 0.5)
-        for c in cs[1:]:
-            alive = jnp.logical_or(alive, jnp.any(c[5] > 0.5))
-        return jnp.logical_and(i < max_steps, alive)
+        i, c = carry
+        return jnp.logical_and(i < max_steps, jnp.any(c[5] > 0.5))
 
     def body(carry):
-        i, cs = carry
-        sts = [unpack_one(c) for c in cs]
+        i, c = carry
+        st = unpack_one(c)
         # Unrolled steps amortize the exit check; finished rays are masked
         # no-ops, so overshooting the all-done point by <unroll steps is
         # exact. `unroll` divides max_steps (enforced by the wrapper).
         for _ in range(unroll):
-            sts = [march_step(scene, st, t, media_cond=True) for st in sts]
-        return i + unroll, tuple(pack_one(st) for st in sts)
+            st = march_step(scene, st, t, media_cond=True,
+                            media_group_rows=group_rows)
+        return i + unroll, pack_one(st)
 
-    _, carries = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tuple(pack_one(st) for st in states))
+    _, carry = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), pack_one(state))
     )
-    return [(sl, unpack_one(c)) for sl, c in zip(slices, carries)]
+    return [(slice(None), unpack_one(carry))]
 
 
 def _run_march_loop(scene: SceneConfig, max_steps: int, unroll: int,

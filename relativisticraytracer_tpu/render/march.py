@@ -197,13 +197,31 @@ def _media_contribution(scene: SceneConfig, rel: Vec3, r2, v_new: Vec3,
 
 
 def march_step(scene: SceneConfig, state: MarchState, time,
-               media_cond: bool = False) -> MarchState:
+               media_cond: bool = False,
+               media_group_rows: int = 0) -> MarchState:
     """One reference march iteration (raymarcher.cu:41-121), fully masked.
 
     media_cond=True wraps the radiative-transfer block in a `lax.cond` on
     "any ray in this array is inside a media zone" — a whole-array skip of
     the (expensive) density evaluation. Used by the Pallas kernel where the
-    array is one pixel tile, so vacuum tiles march at vacuum cost."""
+    array is one pixel tile, so vacuum tiles march at vacuum cost.
+
+    media_group_rows=N (with media_cond=True) refines the skip to
+    independent N-row slices of the array: each slice gets its own probe
+    reduction and lax.cond, so a tile that clips a medium only shades the
+    rows that might touch it. The loop carry is unchanged (one state; the
+    slices are reassembled with a concatenate), unlike the earlier
+    tuple-of-states grouping that multiplied the while carry and spilled.
+    Measured on the 1080p headline frame, whole-tile conds execute 3.3x the
+    per-ray-ideal media lane-steps; 8-row slices cut that to 2.6x
+    (docs/media_fire.json). Wall time on chip moves the OTHER way, though
+    — 230 ms whole-tile vs 428 ms at 8-row groups (tools/sweep_fused.py):
+    each slice's lax.cond dispatch outweighs the skipped work — so the
+    production default stays whole-tile (ops/pallas_march.GROUP_ROWS = 0)
+    and this knob documents a measured dead end. Exactness is unaffected:
+    a slice skips only when every lane's probe is False, which is
+    conservative
+    (tests/test_densities.py::test_probe_bounds_are_conservative)."""
     p, v, intensity, trans, hit, active = state
     eh = scene.event_horizon
     mp = scene.mass_pos
@@ -250,7 +268,7 @@ def march_step(scene: SceneConfig, state: MarchState, time,
             active, jnp.logical_or(in_disk_zone, in_cloud_zone)
         )
 
-        def compose(intensity, trans, ex, ey, ez, opacity):
+        def compose(intensity, trans, ex, ey, ez, opacity, in_media, h):
             # front-to-back emission/absorption (raymarcher.cu:107-115)
             d_tau = opacity * h
             step_trans = jnp.exp(-d_tau)
@@ -267,26 +285,53 @@ def march_step(scene: SceneConfig, state: MarchState, time,
             probe_disk, probe_cloud = media_probes(
                 scene, rel, in_disk_zone, in_cloud_zone, active
             )
-            preds = [jnp.any(p) for p in (probe_disk, probe_cloud) if p is not None]
-            any_pred = preds[0]
-            for extra in preds[1:]:
-                any_pred = jnp.logical_or(any_pred, extra)
-            emit, opacity = _media_contribution(
-                scene, rel, r2, v, in_disk_zone, in_cloud_zone, time,
-                disk_pred=jnp.any(probe_disk) if probe_disk is not None else None,
-                cloud_pred=jnp.any(probe_cloud) if probe_cloud is not None else None,
-            )
-            intensity, trans = jax.lax.cond(
-                any_pred, compose,
-                lambda intensity, trans, *_: (intensity, trans),
-                intensity, trans, emit.x, emit.y, emit.z, opacity,
-            )
+
+            def conded_media(sl):
+                """Media eval + compositing for row-slice `sl` under its own
+                probe-reduced lax.cond; returns the slice's new
+                (intensity, trans)."""
+                pd = jnp.any(probe_disk[sl]) if probe_disk is not None else None
+                pc = jnp.any(probe_cloud[sl]) if probe_cloud is not None else None
+                preds = [p for p in (pd, pc) if p is not None]
+                any_pred = preds[0]
+                for extra in preds[1:]:
+                    any_pred = jnp.logical_or(any_pred, extra)
+                rel_s = Vec3(rel.x[sl], rel.y[sl], rel.z[sl])
+                v_s = Vec3(v.x[sl], v.y[sl], v.z[sl])
+                inten_s = Vec3(intensity.x[sl], intensity.y[sl], intensity.z[sl])
+                emit, opacity = _media_contribution(
+                    scene, rel_s, r2[sl], v_s,
+                    in_disk_zone[sl], in_cloud_zone[sl], time,
+                    disk_pred=pd, cloud_pred=pc,
+                )
+                return jax.lax.cond(
+                    any_pred,
+                    lambda i, t: compose(i, t, emit.x, emit.y, emit.z,
+                                         opacity, in_media[sl], h[sl]),
+                    lambda i, t: (i, t),
+                    inten_s, trans[sl],
+                )
+
+            rows = rel.x.shape[0] if rel.x.ndim else 1
+            if media_group_rows and 0 < media_group_rows < rows:
+                step = media_group_rows
+                parts = [conded_media(slice(g, g + step))
+                         for g in range(0, rows, step)]
+                intensity = Vec3(
+                    jnp.concatenate([p[0].x for p in parts]),
+                    jnp.concatenate([p[0].y for p in parts]),
+                    jnp.concatenate([p[0].z for p in parts]),
+                )
+                trans = jnp.concatenate([p[1] for p in parts])
+            else:
+                intensity, trans = conded_media(slice(None))
         else:
             emit, opacity = _media_contribution(
                 scene, rel, r2, v, in_disk_zone, in_cloud_zone, time
             )
             intensity, trans = compose(
-                intensity, trans, emit.x, emit.y, emit.z, opacity
+                intensity, trans, emit.x, emit.y, emit.z, opacity,
+                in_media, h,
             )
 
     # 5. escape to infinity (raymarcher.cu:120) — POST-step velocity,

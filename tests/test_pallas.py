@@ -58,6 +58,28 @@ def test_pallas_march_matches_xla(scene_kw):
         )
 
 
+def test_group_rows_media_conds_are_exact():
+    # media_group_rows refines the media-skip lax.cond to row slices; a
+    # slice skips only when every lane's probe is False, so the result must
+    # be IDENTICAL to whole-tile conds (and to the uncond XLA path).
+    scene = SceneConfig(max_steps=96)
+    origin, direction = _rays()
+    whole = march_pallas(
+        scene, origin, direction, jnp.float32(1.5), 96,
+        block_h=32, block_w=64, unroll=4, group_rows=0, interpret=INTERPRET,
+    )
+    grouped = march_pallas(
+        scene, origin, direction, jnp.float32(1.5), 96,
+        block_h=32, block_w=64, unroll=4, group_rows=4, interpret=INTERPRET,
+    )
+    for got, want in zip(grouped, whole):
+        if hasattr(got, "x"):
+            for a, b in zip((got.x, got.y, got.z), (want.x, want.y, want.z)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_pallas_handles_nondivisible_image():
     # 70x100 image padded up to block multiples then cropped.
     scene = SceneConfig(max_steps=32, enable_clouds=False)
