@@ -91,8 +91,8 @@ def cmd_interactive(args):
 
     session = Session(renderer=_build_renderer(args))
     if args.state and pathlib.Path(args.state).exists():
-        session.load_state(args.state)
-        print(f"restored session state from {args.state}")
+        if session.load_state(args.state):
+            print(f"restored session state from {args.state}")
 
     def _save_state():
         if args.state:
@@ -100,10 +100,14 @@ def cmd_interactive(args):
             print(f"saved session state to {args.state}")
 
     if args.terminal:
-        run_terminal_preview(session, width=args.term_width,
-                             fps_cap=args.fps_cap)
-        _save_state()
-        session.close()
+        try:
+            run_terminal_preview(session, width=args.term_width,
+                                 fps_cap=args.fps_cap)
+        finally:
+            # Persist even when the preview dies (device error, ^C): the
+            # whole point of --state is surviving imperfect exits.
+            _save_state()
+            session.close()
         return
     server = PreviewServer(session, host=args.host, port=args.port,
                            fps_cap=args.fps_cap)

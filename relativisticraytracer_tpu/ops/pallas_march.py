@@ -76,10 +76,9 @@ GROUP_ROWS = 0
 
 
 def _march_tile_loop(scene: SceneConfig, max_steps: int, unroll: int,
-                     group_rows: int, t, make_state, tile_rows):
-    """Shared tile march loop: builds the tile state via
-    `make_state(slice)`, runs the early-exit while loop, and returns the
-    final state as [(slice, MarchState)] (single whole-tile entry).
+                     group_rows: int, t, make_state):
+    """Shared tile march loop: builds the tile state via `make_state()`,
+    runs the early-exit while loop, and returns the final MarchState.
 
     group_rows=N runs the media skip conds at N-lane-row granularity INSIDE
     march_step (slice-wise, carry-preserving — see march_step's
@@ -87,7 +86,7 @@ def _march_tile_loop(scene: SceneConfig, max_steps: int, unroll: int,
     that might touch it. The while carry stays one tile state either way;
     the earlier tuple-of-states grouping multiplied the carry and spilled
     VMEM."""
-    state = make_state(slice(None))
+    state = make_state()
 
     # Mosaic cannot carry i1 vectors through scf.while — ship the masks as
     # f32 0/1 planes across loop iterations and rebuild bools inside.
@@ -117,24 +116,24 @@ def _march_tile_loop(scene: SceneConfig, max_steps: int, unroll: int,
     _, carry = jax.lax.while_loop(
         cond, body, (jnp.int32(0), pack_one(state))
     )
-    return [(slice(None), unpack_one(carry))]
+    return unpack_one(carry)
 
 
 def _run_march_loop(scene: SceneConfig, max_steps: int, unroll: int,
-                    group_rows: int, t, make_state, tile_rows,
+                    group_rows: int, t, make_state,
                     ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
                     vx_ref, vy_ref, vz_ref):
     """March the tile and write the raw state planes (plane-output kernels)."""
-    for sl, state in _march_tile_loop(scene, max_steps, unroll, group_rows,
-                                      t, make_state, tile_rows):
-        ir_ref[sl] = state.intensity.x
-        ig_ref[sl] = state.intensity.y
-        ib_ref[sl] = state.intensity.z
-        tr_ref[sl] = state.transmittance
-        hit_ref[sl] = state.hit_horizon.astype(jnp.float32)
-        vx_ref[sl] = state.v.x
-        vy_ref[sl] = state.v.y
-        vz_ref[sl] = state.v.z
+    state = _march_tile_loop(scene, max_steps, unroll, group_rows,
+                             t, make_state)
+    ir_ref[...] = state.intensity.x
+    ig_ref[...] = state.intensity.y
+    ib_ref[...] = state.intensity.z
+    tr_ref[...] = state.transmittance
+    hit_ref[...] = state.hit_horizon.astype(jnp.float32)
+    vx_ref[...] = state.v.x
+    vy_ref[...] = state.v.y
+    vz_ref[...] = state.v.z
 
 
 def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
@@ -145,13 +144,12 @@ def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
                        vx_ref, vy_ref, vz_ref):
     """Plane-input kernel: rays supplied as (H, W)-derived lane tiles."""
     t = time_ref[0]
-    tile_rows = ox_ref.shape[0]
 
-    def make_state(sl):
-        zeros = jnp.zeros_like(ox_ref[sl])
+    def make_state():
+        zeros = jnp.zeros_like(ox_ref[...])
         return MarchState(
-            p=Vec3(ox_ref[sl], oy_ref[sl], oz_ref[sl]),
-            v=Vec3(dx_ref[sl], dy_ref[sl], dz_ref[sl]),
+            p=Vec3(ox_ref[...], oy_ref[...], oz_ref[...]),
+            v=Vec3(dx_ref[...], dy_ref[...], dz_ref[...]),
             intensity=Vec3(zeros, zeros, zeros),
             transmittance=jnp.ones_like(zeros),
             hit_horizon=jnp.zeros_like(zeros, dtype=bool),
@@ -159,7 +157,7 @@ def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
         )
 
     _run_march_loop(scene, max_steps, unroll, group_rows, t, make_state,
-                    tile_rows, ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                    ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
                     vx_ref, vy_ref, vz_ref)
 
 
@@ -221,13 +219,12 @@ def _march_camera_kernel(scene: SceneConfig, max_steps: int, unroll: int,
     no ray planes ever touch HBM."""
     t, cam_pos, rd = _gen_tile_rays(scal_ref, width, height,
                                     block_h, block_w, nbx)
-    tile_rows = (block_h * block_w) // 128
 
-    def make_state(sl):
-        zeros = jnp.zeros_like(rd.x[sl])
+    def make_state():
+        zeros = jnp.zeros_like(rd.x)
         return MarchState(
             p=Vec3(zeros + cam_pos[0], zeros + cam_pos[1], zeros + cam_pos[2]),
-            v=Vec3(rd.x[sl], rd.y[sl], rd.z[sl]),
+            v=Vec3(rd.x, rd.y, rd.z),
             intensity=Vec3(zeros, zeros, zeros),
             transmittance=jnp.ones_like(zeros),
             hit_horizon=jnp.zeros_like(zeros, dtype=bool),
@@ -235,7 +232,7 @@ def _march_camera_kernel(scene: SceneConfig, max_steps: int, unroll: int,
         )
 
     _run_march_loop(scene, max_steps, unroll, group_rows, t, make_state,
-                    tile_rows, ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
+                    ir_ref, ig_ref, ib_ref, tr_ref, hit_ref,
                     vx_ref, vy_ref, vz_ref)
 
 
@@ -451,32 +448,31 @@ def _march_camera_sky_kernel(scene: SceneConfig, max_steps: int, unroll: int,
     t, cam_pos, rd = _gen_tile_rays(scal_ref, width, height,
                                     block_h, block_w, nbx)
     ca_eff = scal_ref[15]
-    tile_rows = (block_h * block_w) // 128
 
-    def make_state(sl):
-        zeros = jnp.zeros_like(rd.x[sl])
+    def make_state():
+        zeros = jnp.zeros_like(rd.x)
         return MarchState(
             p=Vec3(zeros + cam_pos[0], zeros + cam_pos[1], zeros + cam_pos[2]),
-            v=Vec3(rd.x[sl], rd.y[sl], rd.z[sl]),
+            v=Vec3(rd.x, rd.y, rd.z),
             intensity=Vec3(zeros, zeros, zeros),
             transmittance=jnp.ones_like(zeros),
             hit_horizon=jnp.zeros_like(zeros, dtype=bool),
             active=jnp.ones_like(zeros, dtype=bool),
         )
 
-    for sl, state in _march_tile_loop(scene, max_steps, unroll, group_rows,
-                                      t, make_state, tile_rows):
-        ir_ref[sl] = state.intensity.x
-        ig_ref[sl] = state.intensity.y
-        ib_ref[sl] = state.intensity.z
-        tr_ref[sl] = state.transmittance
-        d = normalize(state.v)
-        for (idx, fx, fy), idx_ref, fx_ref, fy_ref in zip(
-            sky_coords(d, ca_eff, sky_h, sky_w), idx_refs, fx_refs, fy_refs
-        ):
-            idx_ref[sl] = idx
-            fx_ref[sl] = fx
-            fy_ref[sl] = fy
+    state = _march_tile_loop(scene, max_steps, unroll, group_rows,
+                             t, make_state)
+    ir_ref[...] = state.intensity.x
+    ig_ref[...] = state.intensity.y
+    ib_ref[...] = state.intensity.z
+    tr_ref[...] = state.transmittance
+    d = normalize(state.v)
+    for (idx, fx, fy), idx_ref, fx_ref, fy_ref in zip(
+        sky_coords(d, ca_eff, sky_h, sky_w), idx_refs, fx_refs, fy_refs
+    ):
+        idx_ref[...] = idx
+        fx_ref[...] = fx
+        fy_ref[...] = fy
 
 
 @functools.partial(

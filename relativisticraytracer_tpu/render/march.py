@@ -287,29 +287,32 @@ def march_step(scene: SceneConfig, state: MarchState, time,
             )
 
             def conded_media(sl):
-                """Media eval + compositing for row-slice `sl` under its own
-                probe-reduced lax.cond; returns the slice's new
-                (intensity, trans)."""
-                pd = jnp.any(probe_disk[sl]) if probe_disk is not None else None
-                pc = jnp.any(probe_cloud[sl]) if probe_cloud is not None else None
+                """Media eval + compositing for row-slice `sl` (None = the
+                whole array, no indexing — keeps 0-d scalar-ray states
+                legal) under its own probe-reduced lax.cond; returns the
+                slice's new (intensity, trans)."""
+                ix = (lambda a: a) if sl is None else (lambda a: a[sl])
+                pd = jnp.any(ix(probe_disk)) if probe_disk is not None else None
+                pc = jnp.any(ix(probe_cloud)) if probe_cloud is not None else None
                 preds = [p for p in (pd, pc) if p is not None]
                 any_pred = preds[0]
                 for extra in preds[1:]:
                     any_pred = jnp.logical_or(any_pred, extra)
-                rel_s = Vec3(rel.x[sl], rel.y[sl], rel.z[sl])
-                v_s = Vec3(v.x[sl], v.y[sl], v.z[sl])
-                inten_s = Vec3(intensity.x[sl], intensity.y[sl], intensity.z[sl])
+                rel_s = Vec3(ix(rel.x), ix(rel.y), ix(rel.z))
+                v_s = Vec3(ix(v.x), ix(v.y), ix(v.z))
+                inten_s = Vec3(ix(intensity.x), ix(intensity.y),
+                               ix(intensity.z))
                 emit, opacity = _media_contribution(
-                    scene, rel_s, r2[sl], v_s,
-                    in_disk_zone[sl], in_cloud_zone[sl], time,
+                    scene, rel_s, ix(r2), v_s,
+                    ix(in_disk_zone), ix(in_cloud_zone), time,
                     disk_pred=pd, cloud_pred=pc,
                 )
                 return jax.lax.cond(
                     any_pred,
                     lambda i, t: compose(i, t, emit.x, emit.y, emit.z,
-                                         opacity, in_media[sl], h[sl]),
+                                         opacity, ix(in_media), ix(h)),
                     lambda i, t: (i, t),
-                    inten_s, trans[sl],
+                    inten_s, ix(trans),
                 )
 
             rows = rel.x.shape[0] if rel.x.ndim else 1
@@ -324,7 +327,7 @@ def march_step(scene: SceneConfig, state: MarchState, time,
                 )
                 trans = jnp.concatenate([p[1] for p in parts])
             else:
-                intensity, trans = conded_media(slice(None))
+                intensity, trans = conded_media(None)
         else:
             emit, opacity = _media_contribution(
                 scene, rel, r2, v, in_disk_zone, in_cloud_zone, time

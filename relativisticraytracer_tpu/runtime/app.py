@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+import os
 import pathlib
 import time as _time
 from typing import Callable, Optional
@@ -153,18 +154,39 @@ class Session:
                 for f in dataclasses.fields(self.effects)
             },
         }
-        pathlib.Path(path).write_text(json.dumps(state, indent=2))
+        # Atomic: a kill mid-write must not leave a truncated file that
+        # breaks every subsequent --state launch.
+        target = pathlib.Path(path)
+        tmp = target.with_name(target.name + ".tmp")
+        tmp.write_text(json.dumps(state, indent=2))
+        os.replace(tmp, target)
 
-    def load_state(self, path: str) -> None:
-        state = json.loads(pathlib.Path(path).read_text())
-        self.camera.pos = np.array(state["pos"], dtype=np.float32)
-        self.camera.yaw = state["yaw"]
-        self.camera.pitch = state["pitch"]
-        self.sim_time = state["sim_time"]
-        self.paths.current_path_index = state["path_index"]
-        self.paths.active = state["path_active"]
-        self.paths.path_time = state["path_time"]
-        self.effects = CameraEffects(**state["effects"])
+    def load_state(self, path: str) -> bool:
+        """Restore pose/clock/effects/path from JSON written by save_state.
+
+        Returns True on success. A truncated or version-incompatible file
+        logs a warning and leaves the session at defaults (False) — a stale
+        state file must never make the app unlaunchable."""
+        try:
+            state = json.loads(pathlib.Path(path).read_text())
+            pos = np.array(state["pos"], dtype=np.float32)
+            yaw, pitch = state["yaw"], state["pitch"]
+            sim_time = state["sim_time"]
+            path_index = state["path_index"]
+            path_active, path_time = state["path_active"], state["path_time"]
+            effects = CameraEffects(**state["effects"])
+        except Exception as e:  # noqa: BLE001 — any corrupt file is non-fatal
+            log.warning("ignoring unreadable session state %s: %s", path, e)
+            return False
+        self.camera.pos = pos
+        self.camera.yaw = yaw
+        self.camera.pitch = pitch
+        self.sim_time = sim_time
+        self.paths.current_path_index = path_index
+        self.paths.active = path_active
+        self.paths.path_time = path_time
+        self.effects = effects
+        return True
 
     def close(self) -> None:
         self.recorder.stop()
@@ -299,7 +321,7 @@ class AnimationJob:
         # concurrent np.asarray calls contend with render dispatch on the
         # runtime's RPC lock. The reference's loop overlaps render with
         # encode the same way via its async sink (main.cpp:505-529).
-        pending = collections.deque()   # (k, device frame, copy started)
+        pending = collections.deque()   # (k, device frame) — copy already started
         last_done = t_start
 
         def encode_one():
@@ -324,7 +346,9 @@ class AnimationJob:
                 )
                 dev_frame.copy_to_host_async()
                 pending.append((k, dev_frame))
-                while len(pending) > depth:
+                # Drain down to depth-1 so at most `depth` frames (the
+                # documented `inflight` bound) are ever device-resident.
+                while len(pending) >= depth:
                     encode_one()
             while pending:
                 encode_one()

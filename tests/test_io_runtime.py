@@ -395,3 +395,28 @@ def test_session_state_roundtrip(tmp_path, monkeypatch):
     frame = s2.tick(1.0 / 24.0)
     assert frame.shape == (12, 16, 4)
     s2.close()
+
+
+def test_load_state_tolerates_corrupt_file(tmp_path, monkeypatch):
+    """A truncated/incompatible state file must not make launches crash:
+    load_state returns False and leaves the session at defaults."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    bad = tmp_path / "session.json"
+    bad.write_text('{"pos": [0.0, 10.')  # killed mid-write
+    s = Session(renderer=_tiny_renderer())
+    default_pos = s.camera.pos.copy()
+    assert s.load_state(str(bad)) is False
+    np.testing.assert_array_equal(s.camera.pos, default_pos)
+    # wrong schema (e.g. an effects field renamed between versions)
+    bad.write_text('{"pos": [0, 1, 2], "yaw": 0, "pitch": 0, "sim_time": 0,'
+                   ' "path_index": 0, "path_active": false, "path_time": 0,'
+                   ' "effects": {"no_such_field": 1}}')
+    assert s.load_state(str(bad)) is False
+    # and a good save still round-trips (atomic write leaves no .tmp)
+    good = tmp_path / "ok.json"
+    s.save_state(str(good))
+    assert not list(tmp_path.glob("*.tmp"))
+    assert s.load_state(str(good)) is True
+    s.close()

@@ -175,3 +175,24 @@ def test_march_fuzz_full_step_budget(rng, spin_a, media):
              np.asarray(st.intensity.z)], -1,
         )
         np.testing.assert_allclose(got_i, winten, rtol=3e-2, atol=3e-3)
+
+
+def test_march_step_media_cond_scalar_state():
+    """march_step(media_cond=True) must accept 0-d (single-ray) states:
+    the slice-wise media-cond path indexes arrays only when they have a
+    leading axis (regression: probe[sl] raised on 0-d inputs)."""
+    from relativisticraytracer_tpu.render.march import init_state, march_step
+
+    origin = Vec3(*(jnp.float32(c) for c in (0.0, 1.0, -40.0)))
+    direction = Vec3(*(jnp.float32(c) for c in (0.0, 0.0, 1.0)))
+    st = init_state(origin, direction)
+    for _ in range(8):
+        st = march_step(SCENE, st, jnp.float32(1.0), media_cond=True)
+    ref = st
+    st2 = init_state(origin, direction)
+    for _ in range(8):
+        st2 = march_step(SCENE, st2, jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(ref.p.z), np.asarray(st2.p.z))
+    np.testing.assert_array_equal(
+        np.asarray(ref.transmittance), np.asarray(st2.transmittance)
+    )
