@@ -12,9 +12,25 @@ import logging
 import sys
 
 
+# Resolution presets: reference step budget everywhere, only the pixel
+# count changes. Throughputs measured on one TPU v5e chip, full scene
+# (docs/config_ladder.json; 480x272 animation runs at ~30 fps).
+PRESETS = {
+    "cinema": (1920, 1080),
+    "preview": (960, 540),
+    "realtime": (480, 272),
+}
+
+
 def _add_render_args(p):
-    p.add_argument("--width", type=int, default=1000)    # config.h:7
-    p.add_argument("--height", type=int, default=700)    # config.h:8
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="resolution preset (cinema=1080p, preview=540p, "
+                        "realtime=480x272 ~30fps on one v5e); explicit "
+                        "--width/--height win")
+    p.add_argument("--width", type=int, default=None,
+                   help="default 1000 (config.h:7) or the preset's width")
+    p.add_argument("--height", type=int, default=None,
+                   help="default 700 (config.h:8) or the preset's height")
     p.add_argument("--max-steps", type=int, default=2000)
     p.add_argument("--spin", type=float, default=0.0)
     p.add_argument("--no-disk", action="store_true")
@@ -32,6 +48,9 @@ def _build_renderer(args):
     from relativisticraytracer_tpu.io.image import load_skybox
     from relativisticraytracer_tpu.render.pipeline import Renderer
 
+    preset_wh = PRESETS.get(args.preset) if args.preset else None
+    args.width = args.width or (preset_wh[0] if preset_wh else 1000)
+    args.height = args.height or (preset_wh[1] if preset_wh else 700)
     loop = args.loop or "auto"
     scene = SceneConfig(
         spin_a=args.spin,
@@ -148,7 +167,11 @@ def main(argv=None):
     p_anim.add_argument("--path-index", type=int, default=0)
     p_anim.add_argument("--fps", type=int, default=24)
     p_anim.add_argument("--duration", type=float, default=None)
-    p_anim.add_argument("--out", default=None)
+    p_anim.add_argument("--out", default=None,
+                        help="output target: .mp4 (needs ffmpeg; falls back "
+                             "to raw .rgba + sidecar), or a directory / "
+                             "trailing-slash path for a resumable PNG "
+                             "frame sequence")
     p_anim.set_defaults(fn=cmd_anim)
 
     p_live = sub.add_parser(

@@ -43,3 +43,50 @@ def save_png(path: str, frame: np.ndarray) -> None:
 
     pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
     Image.fromarray(np.asarray(frame)).save(path)
+
+
+class FrameSequenceWriter:
+    """PNG frame-sequence sink: `out_dir/frame_00000.png`, `..._00001.png`…
+
+    The encoder-free animation target (compositing workflows, or hosts
+    without ffmpeg where a video container is unwanted). Each frame is
+    written atomically (tmp + rename), so the finished files ARE the
+    checkpoint: `resume()` returns the first missing index and a killed
+    job continues exactly there — no sidecar state at all.
+    """
+
+    FMT = "frame_{:05d}.png"
+
+    def __init__(self, out_dir: str, width: int, height: int):
+        self.dir = pathlib.Path(out_dir)
+        self.width = width
+        self.height = height
+        self._next = 0
+
+    def resume(self) -> int:
+        """First missing frame index (files must be consecutive from 0)."""
+        self.dir.mkdir(parents=True, exist_ok=True)
+        k = 0
+        while (self.dir / self.FMT.format(k)).exists():
+            k += 1
+        self._next = k
+        return k
+
+    def capture(self, frame: np.ndarray) -> None:
+        import os
+
+        from PIL import Image
+
+        if frame.shape != (self.height, self.width, 4) or frame.dtype != np.uint8:
+            raise ValueError(f"bad frame {frame.shape} {frame.dtype}")
+        target = self.dir / self.FMT.format(self._next)
+        tmp = target.with_name(target.name + ".tmp")
+        Image.fromarray(frame).save(tmp, format="PNG")
+        os.replace(tmp, target)
+        self._next += 1
+
+    def stop(self) -> int:
+        return self._next
+
+    def abort(self) -> None:
+        """Nothing buffered — every captured frame is already durable."""

@@ -203,7 +203,10 @@ class AnimationJob:
       * raw-file sink (no ffmpeg): the file appends in place;
       * MP4 sink: segment encoding (io/video.SegmentedRecorder) — one
         finalized MP4 per checkpoint interval, losslessly concatenated at
-        the end, so encoder state survives a kill too.
+        the end, so encoder state survives a kill too;
+      * directory out_path: PNG frame sequence (io/image.
+        FrameSequenceWriter) — encoder-free, each finished file is its
+        own checkpoint.
 
     Dispatch is double-buffered: up to `inflight` frames are in flight on
     the device(s) while the host fetches/encodes earlier ones, hiding the
@@ -241,6 +244,24 @@ class AnimationJob:
         )
 
         settings = self.renderer.settings
+        if self.out_path is not None and (
+            self.out_path.endswith(("/", os.sep))
+            or pathlib.Path(self.out_path).is_dir()
+        ):
+            # Directory target -> PNG frame sequence (encoder-free; each
+            # finished file is its own checkpoint).
+            from relativisticraytracer_tpu.io.image import FrameSequenceWriter
+
+            seq = FrameSequenceWriter(self.out_path, settings.width,
+                                      settings.height)
+            start_frame = seq.resume()
+            if not resume and start_frame:
+                for f in seq.dir.glob("frame_*.png"):
+                    f.unlink()
+                start_frame = seq.resume()
+            return (seq.capture, lambda k: None, seq.stop, seq.abort,
+                    self.out_path, start_frame)
+
         if ffmpeg_available() and self.out_path is not None:
             seg = SegmentedRecorder(
                 settings.width, settings.height, self.fps,

@@ -420,3 +420,29 @@ def test_load_state_tolerates_corrupt_file(tmp_path, monkeypatch):
     assert not list(tmp_path.glob("*.tmp"))
     assert s.load_state(str(good)) is True
     s.close()
+
+
+def test_animation_png_sequence_and_resume(tmp_path):
+    """Directory out_path -> PNG frame sequence: resumable from the files
+    alone (no sidecar), fresh runs wipe stale frames."""
+    r = _tiny_renderer()
+    out_dir = tmp_path / "frames"
+    job = AnimationJob(path=default_paths()[0], renderer=r, fps=2,
+                       duration=3.0, out_path=str(out_dir) + "/")
+    stats = job.run()
+    assert stats["frames_written"] == 6
+    files = sorted(out_dir.glob("frame_*.png"))
+    assert [f.name for f in files] == [f"frame_{k:05d}.png" for k in range(6)]
+    orig = [f.read_bytes() for f in files]
+    # interrupted run: the tail is missing; resume renders ONLY the gap and
+    # reproduces identical frames (each frame is a pure function of k)
+    for f in files[3:]:
+        f.unlink()
+    stats2 = job.run(resume=True)
+    assert stats2["resumed_at"] == 3
+    now = sorted(out_dir.glob("frame_*.png"))
+    assert [f.read_bytes() for f in now] == orig
+    # resume=False starts over from frame 0
+    stats3 = job.run(resume=False)
+    assert stats3["resumed_at"] == 0
+    assert [f.read_bytes() for f in sorted(out_dir.glob("frame_*.png"))] == orig

@@ -99,3 +99,18 @@ def test_cli_interactive_terminal(tmp_path, monkeypatch, capsys):
           "--no-clouds"])
     assert calls["width"] == 24
     assert "▀" in capsys.readouterr().out
+
+
+def test_cli_preset_resolution(tmp_path):
+    """--preset sets the resolution; explicit --width/--height override it
+    dimension-wise."""
+    out = tmp_path / "p.png"
+    cli_main([
+        "still", "--preset", "realtime", "--height", "12", "--max-steps",
+        "8", "--loop", "while", "--no-disk", "--no-clouds",
+        "--out", str(out),
+    ])
+    from relativisticraytracer_tpu.io.image import load_image_rgba
+
+    img = load_image_rgba(str(out))
+    assert img.shape == (12, 480, 4)
