@@ -7,6 +7,10 @@ after import (XLA_FLAGS still must be set before the first backend init)."""
 
 import os
 
+# Keep tests hermetic: the CLI enables a persistent compilation cache under
+# ~/.cache by default (see __main__._enable_compile_cache).
+os.environ.setdefault("RRT_TPU_COMPILE_CACHE", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -67,7 +67,10 @@ def main():
         ("2_kerr09_512", SceneConfig(spin_a=0.9, enable_disk=False, enable_clouds=False),
          512, 512, effects_off()),
         ("3_disk_512", SceneConfig(enable_clouds=False), 512, 512, effects_off()),
+        # the CLI presets' rungs (full scene + FX at each preset resolution)
         ("4_full_1080p", SceneConfig(), 1920, 1080, CameraEffects()),
+        ("4b_full_540p_preview", SceneConfig(), 960, 540, CameraEffects()),
+        ("4c_full_realtime", SceneConfig(), 480, 272, CameraEffects()),
     ]
     for name, scene, w, h, eff in ladder:
         r = Renderer(scene, RenderSettings(width=w, height=h), skybox_rgba=sky)
