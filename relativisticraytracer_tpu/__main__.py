@@ -108,7 +108,14 @@ def cmd_interactive(args):
 
     import pathlib
 
-    session = Session(renderer=_build_renderer(args))
+    motion_r = None
+    if args.motion_steps:
+        import copy
+
+        margs = copy.copy(args)
+        margs.max_steps = args.motion_steps
+        motion_r = _build_renderer(margs)
+    session = Session(renderer=_build_renderer(args), motion_renderer=motion_r)
     if args.state and pathlib.Path(args.state).exists():
         if session.load_state(args.state):
             print(f"restored session state from {args.state}")
@@ -215,6 +222,12 @@ def main(argv=None):
     p_live.add_argument("--state", default=None,
                         help="JSON file to restore/persist the session "
                              "(pose, clock, effects, path) across runs")
+    p_live.add_argument("--motion-steps", type=int, default=0,
+                        help="while actively flying, march with this "
+                             "reduced step cap for a snappier preview "
+                             "(full quality returns when you stop; "
+                             "recording always renders full quality); "
+                             "0 disables")
     p_live.set_defaults(fn=cmd_interactive)
 
     p_paths = sub.add_parser("paths", help="list built-in camera paths")

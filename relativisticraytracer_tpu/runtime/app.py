@@ -53,8 +53,19 @@ class Session:
     def __init__(self, renderer: Optional[Renderer] = None,
                  scene: SceneConfig = SceneConfig(),
                  settings: RenderSettings = RenderSettings(),
-                 skybox_rgba: Optional[np.ndarray] = None):
+                 skybox_rgba: Optional[np.ndarray] = None,
+                 motion_renderer: Optional[Renderer] = None,
+                 motion_hold_s: float = 0.4):
         self.renderer = renderer or Renderer(scene, settings, skybox_rgba=skybox_rgba)
+        # Motion-adaptive preview quality (beyond the reference): while the
+        # user is actively flying/looking, frames render with this cheaper
+        # renderer (same resolution, typically a reduced step cap) and snap
+        # back to full quality `motion_hold_s` after the last input.
+        # Recording is ALWAYS full quality — captured frames keep exact
+        # reference semantics.
+        self.motion_renderer = motion_renderer
+        self.motion_hold_s = motion_hold_s
+        self._last_input = float("-inf")
         self.camera = CameraController()
         self.paths = PathController(manager=init_default_paths(PathManager()))
         self.effects = CameraEffects()
@@ -97,9 +108,11 @@ class Session:
             )
         elif key in ("w", "a", "s", "d", "space", "shift"):
             self.camera.move(key)
+            self._last_input = _time.perf_counter()
 
     def mouse(self, dx: float, dy: float) -> None:
         self.camera.look(dx, dy)
+        self._last_input = _time.perf_counter()
 
     # --- frame loop (main.cpp:505-529) ---
     def tick(self, wall_dt: float) -> np.ndarray:
@@ -113,7 +126,14 @@ class Session:
             if self.paths.active
             else self.camera.state()
         )
-        frame = self.renderer.render_np(cam, self.effects, self.sim_time)
+        r = self.renderer
+        if (
+            self.motion_renderer is not None
+            and not self.recorder.is_recording
+            and _time.perf_counter() - self._last_input < self.motion_hold_s
+        ):
+            r = self.motion_renderer
+        frame = r.render_np(cam, self.effects, self.sim_time)
         if self.recorder.is_recording:
             self.recorder.capture(frame)
         self.frame_count += 1

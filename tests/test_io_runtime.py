@@ -446,3 +446,33 @@ def test_animation_png_sequence_and_resume(tmp_path):
     stats3 = job.run(resume=False)
     assert stats3["resumed_at"] == 0
     assert [f.read_bytes() for f in sorted(out_dir.glob("frame_*.png"))] == orig
+
+
+def test_motion_adaptive_preview_quality(monkeypatch):
+    """With a motion renderer set, frames right after user input use it;
+    idle frames and ALL recorded frames use the full-quality renderer."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    quality, motion = _tiny_renderer(), _tiny_renderer()
+    used = []
+    for tag, r in (("quality", quality), ("motion", motion)):
+        real = r.render_np
+        r.render_np = (lambda real, tag: lambda *a, **k: (
+            used.append(tag), real(*a, **k))[1])(real, tag)
+    s = Session(renderer=quality, motion_renderer=motion, motion_hold_s=0.2)
+    s.tick(0.01)                      # no input yet -> quality
+    s.handle_key("w")
+    s.tick(0.01)                      # just moved -> motion
+    s.mouse(5.0, 0.0)
+    s.tick(0.01)                      # just looked -> motion
+    import time as _t
+
+    _t.sleep(0.25)
+    s.tick(0.01)                      # hold expired -> quality
+    s.handle_key("w")
+    s.handle_key("r")                 # recording: always quality
+    s.tick(0.01)
+    s.handle_key("r")
+    s.close()
+    assert used == ["quality", "motion", "motion", "quality", "quality"]
