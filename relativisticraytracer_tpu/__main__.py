@@ -108,14 +108,22 @@ def cmd_interactive(args):
 
     import pathlib
 
+    renderer = _build_renderer(args)
     motion_r = None
     if args.motion_steps:
-        import copy
+        from relativisticraytracer_tpu.render.pipeline import Renderer
 
-        margs = copy.copy(args)
-        margs.max_steps = args.motion_steps
-        motion_r = _build_renderer(margs)
-    session = Session(renderer=_build_renderer(args), motion_renderer=motion_r)
+        import dataclasses
+
+        # Same scene/resolution, reduced step cap — and the SAME device
+        # skybox (no duplicate HBM upload or starfield regeneration).
+        motion_r = Renderer(
+            renderer.scene,
+            dataclasses.replace(renderer.settings,
+                                max_steps=args.motion_steps),
+            skybox=renderer.sky,
+        )
+    session = Session(renderer=renderer, motion_renderer=motion_r)
     if args.state and pathlib.Path(args.state).exists():
         if session.load_state(args.state):
             print(f"restored session state from {args.state}")

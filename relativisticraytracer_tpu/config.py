@@ -17,7 +17,7 @@ that are static by necessity.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,7 +164,10 @@ class RenderSettings:
 
     width: int = WINDOW_WIDTH
     height: int = WINDOW_HEIGHT
-    max_steps: int = 2000          # config.h:48
+    # Step-cap override. None (default) = use the scene's max_steps
+    # (config.h:48) — one source of truth; setting BOTH SceneConfig and
+    # RenderSettings used to be required and silently diverged otherwise.
+    max_steps: Optional[int] = None
     # March loop strategy: "auto" (pallas on TPU, while elsewhere), "scan"
     # (fixed trip count, differentiable-friendly), "while" (chunked scan +
     # all-rays-done early exit), or "pallas" (fused Pallas TPU kernel with
@@ -182,3 +185,7 @@ class RenderSettings:
         import jax
 
         return "pallas" if jax.devices()[0].platform == "tpu" else "while"
+
+    def resolved_max_steps(self, scene: SceneConfig) -> int:
+        """The march step cap: this override if set, else the scene's."""
+        return self.max_steps if self.max_steps is not None else scene.max_steps

@@ -237,18 +237,26 @@ class VideoRecorder:
             append = append_frames > 0 and pathlib.Path(self.out_path).exists()
             if append:
                 # The raw file is only resumable if it was written at this
-                # exact geometry — check the sidecar before truncating.
+                # exact geometry — check the sidecar before truncating. A
+                # MISSING sidecar means the geometry is unknown (foreign or
+                # tampered file): appending would truncate mid-frame of the
+                # old geometry and interleave two resolutions, so refuse.
                 side = pathlib.Path(self.out_path).with_suffix(".json")
-                if side.exists():
-                    prev = json.loads(side.read_text())
-                    if (prev.get("width"), prev.get("height")) != (
-                        self.width, self.height
-                    ):
-                        raise ValueError(
-                            f"cannot resume {self.out_path}: it holds "
-                            f"{prev.get('width')}x{prev.get('height')} frames, "
-                            f"recorder is {self.width}x{self.height}"
-                        )
+                if not side.exists():
+                    raise ValueError(
+                        f"cannot resume {self.out_path}: its .json sidecar "
+                        "is missing, so the frame geometry is unknown — "
+                        "delete the file or start a fresh recording"
+                    )
+                prev = json.loads(side.read_text())
+                if (prev.get("width"), prev.get("height")) != (
+                    self.width, self.height
+                ):
+                    raise ValueError(
+                        f"cannot resume {self.out_path}: it holds "
+                        f"{prev.get('width')}x{prev.get('height')} frames, "
+                        f"recorder is {self.width}x{self.height}"
+                    )
                 # Drop any partial frame a crash may have left behind.
                 import os
 

@@ -52,7 +52,7 @@ from relativisticraytracer_tpu.render.postfx import (
 )
 from relativisticraytracer_tpu.render.skybox import (
     Skybox,
-    quad_bilinear,
+    gather_sky_coords,
     sky_coords,
 )
 
@@ -325,7 +325,10 @@ def march_pallas(
         out_specs=[tile_spec] * 8,
         out_shape=[out_shape] * 8,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # Every tile writes only its own output block (no cross-tile
+            # carry), so the grid is legally parallel — on megacore parts
+            # (2 TensorCores/chip) Mosaic can split it across cores.
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=cost,
         interpret=interpret,
@@ -410,7 +413,10 @@ def march_pallas_camera(
         out_specs=[tile_spec] * 8,
         out_shape=[out_shape] * 8,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # Every tile writes only its own output block (no cross-tile
+            # carry), so the grid is legally parallel — on megacore parts
+            # (2 TensorCores/chip) Mosaic can split it across cores.
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=cost,
         interpret=interpret,
@@ -563,7 +569,10 @@ def march_pallas_camera_sky(
         out_specs=[tile_spec] * 13,
         out_shape=[fshape] * 4 + [ishape] * 3 + [fshape] * 6,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # Every tile writes only its own output block (no cross-tile
+            # carry), so the grid is legally parallel — on megacore parts
+            # (2 TensorCores/chip) Mosaic can split it across cores.
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=cost,
         interpret=interpret,
@@ -617,33 +626,16 @@ def render_frame_pallas(
     hp, wp = _round_up(h, BLOCK_H), _round_up(w, BLOCK_W)
     intensity, trans, idx3, fx3, fy3 = march_pallas_camera_sky(
         scene, camera, effects, jnp.asarray(time, jnp.float32),
-        w, h, settings.max_steps, sky_h, sky_w, interpret=interpret,
+        w, h, settings.resolved_max_steps(scene), sky_h, sky_w,
+        interpret=interpret,
     )
 
-    # The sky gather — 96 bits/pixel is the information floor. CA off (the
-    # reference default): all channels share the G index, so ONE row-gather
-    # of the interleaved q4 table fetches everything (~3x faster than three
-    # element-gathers, see Skybox docstring). CA on: per-channel gathers
-    # with the phi-offset indices (raymarcher.cu:131-145).
-    def bg_shared(_):
-        t4 = jnp.take(sky.q4, idx3[1], axis=0)
-        return tuple(
-            quad_bilinear(t4[..., c], fx3[1], fy3[1]) for c in range(3)
-        )
-
-    def bg_ca(_):
-        planes = (sky.qr, sky.qg, sky.qb)
-        return tuple(
-            quad_bilinear(jnp.take(plane.reshape(-1), idx), fx, fy)
-            for plane, idx, fx, fy in zip(planes, idx3, fx3, fy3)
-        )
-
-    if sky.q4 is None:  # no fast table: per-channel gathers (still correct)
-        bg = Vec3(*bg_ca(None))
-    else:
-        bg = Vec3(*jax.lax.cond(
-            effects.use_chromatic_aberration > 0.5, bg_ca, bg_shared, None
-        ))
+    # The sky gather — 96 bits/pixel is the information floor; the gather
+    # economics (one q4 row-gather vs per-channel, raymarcher.cu:131-145)
+    # live in skybox.gather_sky_coords, shared with the host fast path.
+    bg = gather_sky_coords(
+        sky, tuple(zip(idx3, fx3, fy3)), effects
+    )
 
     # Captured rays have transmittance == 0 (raymarcher.cu:49), which
     # zero-weights the background — no hit mask needed.
@@ -690,7 +682,8 @@ def _render_frame_pallas_nosky(
     ss = settings.supersample
     intensity, trans, hit, vel = march_pallas_camera(
         scene, camera, effects, jnp.asarray(time, jnp.float32),
-        settings.width * ss, settings.height * ss, settings.max_steps,
+        settings.width * ss, settings.height * ss,
+        settings.resolved_max_steps(scene),
         interpret=interpret,
     )
     uv_x, uv_y = _uv_planes(settings.width * ss, settings.height * ss, effects)

@@ -101,7 +101,8 @@ def render_frame_sharded(
 
             intensity, trans, hit, vel = march_pallas(
                 scene, origin, direction,
-                jnp.asarray(time, jnp.float32), settings.max_steps,
+                jnp.asarray(time, jnp.float32),
+                settings.resolved_max_steps(scene),
                 interpret=jax.default_backend() != "tpu",
             )
             d = normalize(vel)
@@ -130,7 +131,7 @@ def render_frame_sharded(
 
             hdr, _ = render_hdr(
                 scene, origin, direction, time, sky_fn,
-                max_steps=settings.max_steps,
+                max_steps=settings.resolved_max_steps(scene),
                 loop=loop if loop in ("scan", "while") else "while",
                 chunk=settings.chunk,
             )

@@ -67,7 +67,7 @@ def render_frame(
         direction,
         time,
         sky_fn,
-        max_steps=settings.max_steps,
+        max_steps=settings.resolved_max_steps(scene),
         loop="while" if loop == "pallas" else loop,
         chunk=settings.chunk,
     )
@@ -80,7 +80,11 @@ def _compiled_render(scene: SceneConfig, settings: RenderSettings):
     if settings.resolved_loop() == "pallas":
         from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
 
-        fn = functools.partial(render_frame_pallas, scene, settings)
+        # Off-TPU an explicit loop="pallas" runs the kernel in interpreter
+        # mode instead of failing at Mosaic lowering (same rule as the
+        # sharded path, parallel/sharding.py).
+        fn = functools.partial(render_frame_pallas, scene, settings,
+                               interpret=jax.default_backend() != "tpu")
     else:
         fn = functools.partial(render_frame, scene, settings)
     return jax.jit(fn)
@@ -98,11 +102,15 @@ class Renderer:
         scene: SceneConfig = SceneConfig(),
         settings: RenderSettings = RenderSettings(),
         skybox_rgba: Optional[np.ndarray] = None,
+        skybox: Optional[Skybox] = None,
     ):
         self.scene = scene
         self.settings = settings
-        self.sky: Optional[Skybox] = None
-        if skybox_rgba is not None:
+        # `skybox` shares an already-built device texture (e.g. between a
+        # quality and a motion renderer — one HBM copy); `skybox_rgba`
+        # uploads a host array.
+        self.sky: Optional[Skybox] = skybox
+        if skybox is None and skybox_rgba is not None:
             from relativisticraytracer_tpu.render.skybox import skybox_from_array
 
             # the interleaved fast-gather table only pays for itself on the

@@ -206,19 +206,15 @@ def sample_sky(tex: Skybox, d: Vec3, effects) -> Vec3:
     return Vec3(r, s_g.y, b)
 
 
-def sample_sky_fast(tex: Skybox, d: Vec3, effects) -> Vec3:
-    """`sample_sky` with the round-gather trick of the fused kernel path:
-    with chromatic aberration off all three channels share one coordinate
-    set, so ONE row-gather of the interleaved `q4` table fetches the whole
-    96-bit bilinear footprint (~3x faster than three element-gathers on
-    TPU). CA on falls back to per-channel gathers. Bitwise-identical
-    results to sample_sky up to the shared fastmath uv math."""
-    h, w = tex.shape
-    ca_eff = jnp.where(
-        effects.use_chromatic_aberration > 0.5,
-        effects.ca_amount, jnp.float32(0.0),
-    )
-    coords = sky_coords(d, ca_eff, h, w)
+def gather_sky_coords(tex: Skybox, coords, effects) -> Vec3:
+    """The q4 gather economics in ONE place (used by both the host fast
+    path and the fused-kernel epilogue). `coords` is the 3-tuple of
+    per-channel (flat quad index, fx, fy) from `sky_coords` — computed on
+    the host here, or in-kernel by the fused path. With chromatic
+    aberration off all channels share the G index, so ONE row-gather of
+    the interleaved `q4` table fetches the whole 96-bit bilinear footprint
+    (~3x faster than three element-gathers on TPU); CA on — or no fast
+    table — falls back to per-channel element gathers."""
 
     def bg_shared(_):
         idx, fx, fy = coords[1]
@@ -237,6 +233,17 @@ def sample_sky_fast(tex: Skybox, d: Vec3, effects) -> Vec3:
     return Vec3(*jax.lax.cond(
         effects.use_chromatic_aberration > 0.5, bg_ca, bg_shared, None
     ))
+
+
+def sample_sky_fast(tex: Skybox, d: Vec3, effects) -> Vec3:
+    """`sample_sky` via `gather_sky_coords`. Bitwise-identical results to
+    sample_sky up to the shared fastmath uv math."""
+    h, w = tex.shape
+    ca_eff = jnp.where(
+        effects.use_chromatic_aberration > 0.5,
+        effects.ca_amount, jnp.float32(0.0),
+    )
+    return gather_sky_coords(tex, sky_coords(d, ca_eff, h, w), effects)
 
 
 def procedural_starfield(height: int = 1024, width: int = 2048, seed: float = 7.0) -> np.ndarray:

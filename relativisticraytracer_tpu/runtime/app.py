@@ -15,6 +15,7 @@ import json
 import logging
 import os
 import pathlib
+import threading
 import time as _time
 from typing import Callable, Optional
 
@@ -72,6 +73,11 @@ class Session:
         self.recorder = VideoRecorder(
             self.renderer.settings.width, self.renderer.settings.height
         )
+        # The preview server toggles recording from HTTP handler threads
+        # while tick() runs on the render thread; the toggle and the
+        # is_recording+capture pair must be atomic or a mid-frame stop
+        # crashes capture() and kills the render loop.
+        self._rec_lock = threading.Lock()
         self.sim_time = 0.0
         self.frame_count = 0
         self._fps_clock = _time.perf_counter()
@@ -82,7 +88,8 @@ class Session:
     def handle_key(self, key: str) -> None:
         key = key.lower()
         if key == "r":
-            self.recorder.toggle()
+            with self._rec_lock:
+                self.recorder.toggle()
         elif key == "p":
             if self.paths.active:
                 self.paths.stop()
@@ -134,8 +141,9 @@ class Session:
         ):
             r = self.motion_renderer
         frame = r.render_np(cam, self.effects, self.sim_time)
-        if self.recorder.is_recording:
-            self.recorder.capture(frame)
+        with self._rec_lock:
+            if self.recorder.is_recording:
+                self.recorder.capture(frame)
         self.frame_count += 1
         self._fps_frames += 1
         now = _time.perf_counter()

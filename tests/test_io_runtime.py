@@ -476,3 +476,46 @@ def test_motion_adaptive_preview_quality(monkeypatch):
     s.handle_key("r")
     s.close()
     assert used == ["quality", "motion", "motion", "quality", "quality"]
+
+
+def test_raw_resume_refuses_missing_sidecar(tmp_path, monkeypatch):
+    """Appending to a raw file of unknown geometry would corrupt it; a
+    missing sidecar must refuse the resume instead."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    out = tmp_path / "rec.rgba"
+    rec = VideoRecorder(16, 12, fps=2, out_path=str(out))
+    rec.start()
+    rec.capture(np.zeros((12, 16, 4), dtype=np.uint8))
+    rec.stop()
+    out.with_suffix(".json").unlink()
+    rec2 = VideoRecorder(16, 12, fps=2, out_path=str(out))
+    with pytest.raises(ValueError, match="sidecar"):
+        rec2.start(append_frames=1)
+
+
+def test_record_toggle_race_with_render_loop(monkeypatch):
+    """Toggling recording from another thread (the preview server's HTTP
+    handlers) while tick() runs must never crash the render loop."""
+    import threading as _th
+
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    s = Session(renderer=_tiny_renderer())
+    stop = _th.Event()
+
+    def toggler():
+        while not stop.is_set():
+            s.handle_key("r")
+
+    t = _th.Thread(target=toggler, daemon=True)
+    t.start()
+    try:
+        for _ in range(60):
+            s.tick(0.01)
+    finally:
+        stop.set()
+        t.join(5.0)
+    s.close()

@@ -249,3 +249,35 @@ def test_full_frame_matches_oracle_second_full_scene_pose(sky_small):
     diff = got[..., :3].astype(int) - want[..., :3].astype(int)
     rmse = np.sqrt(np.mean((diff / 255.0) ** 2))
     assert rmse < 2e-3, f"RMSE {rmse}"
+
+
+def test_explicit_pallas_loop_interprets_off_tpu(sky_small):
+    """loop='pallas' on a non-TPU backend must run (interpreter mode), not
+    die at Mosaic lowering — and must match the while-loop path."""
+    scene = SceneConfig(max_steps=32, enable_clouds=False)
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    rp = Renderer(scene, RenderSettings(width=64, height=32, loop="pallas"),
+                  skybox_rgba=sky_small)
+    rw = Renderer(scene, RenderSettings(width=64, height=32, loop="while"),
+                  skybox_rgba=sky_small)
+    fp = rp.render_np(cam, CameraEffects(), 1.0)
+    fw = rw.render_np(cam, CameraEffects(), 1.0)
+    np.testing.assert_array_equal(fp, fw)
+
+
+def test_settings_max_steps_falls_back_to_scene():
+    """RenderSettings.max_steps=None derives the cap from SceneConfig — a
+    scene with a reduced budget must not silently render at 2000 steps."""
+    scene = SceneConfig(max_steps=8, enable_disk=False, enable_clouds=False)
+    assert RenderSettings().resolved_max_steps(scene) == 8
+    assert RenderSettings(max_steps=16).resolved_max_steps(scene) == 16
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    r8 = Renderer(scene, RenderSettings(width=32, height=16, loop="while"))
+    rx = Renderer(SceneConfig(max_steps=2000, enable_disk=False,
+                              enable_clouds=False),
+                  RenderSettings(width=32, height=16, max_steps=8,
+                                 loop="while"))
+    np.testing.assert_array_equal(
+        r8.render_np(cam, CameraEffects(), 1.0),
+        rx.render_np(cam, CameraEffects(), 1.0),
+    )
