@@ -99,30 +99,32 @@ def main():
     settings = RenderSettings(
         width=width, height=height, max_steps=scene.max_steps, loop=loop
     )
-    try:
-        renderer = Renderer(scene, settings, skybox_rgba=procedural_starfield(2048, 4096))
-    except Exception:
-        if loop == "pallas":
-            # Pallas path unavailable on this backend; fall back.
-            settings = RenderSettings(
-                width=width, height=height, max_steps=scene.max_steps, loop="while"
-            )
-            loop = "while"
-            renderer = Renderer(
-                scene, settings, skybox_rgba=procedural_starfield(2048, 4096)
-            )
-        else:
-            raise
+    renderer = Renderer(scene, settings,
+                        skybox_rgba=procedural_starfield(2048, 4096))
 
     # Reference startup pose (src/main.cpp:128-130); sim clock advances at
     # the recording rate (main.cpp:511-513).
     camera = camera_state_from_pose((0.0, 10.0, -60.0), 0.0, -10.0)
     effects = CameraEffects()
 
-    import jax as _jax
-
-    # Warmup / compile
-    renderer.render(camera, effects, 0.0).block_until_ready()
+    # Warmup / compile. Renderer construction is lazy (jax.jit), so a
+    # Pallas failure (e.g. Mosaic lowering on an incompatible libtpu)
+    # surfaces HERE — fall back to the while-loop path then.
+    try:
+        renderer.render(camera, effects, 0.0).block_until_ready()
+    except Exception:
+        if settings.resolved_loop() != "pallas":
+            raise
+        print("# pallas path failed to compile; falling back to loop=while",
+              file=sys.stderr)
+        loop = "while"
+        settings = RenderSettings(
+            width=width, height=height, max_steps=scene.max_steps, loop="while"
+        )
+        renderer = Renderer(
+            scene, settings, skybox_rgba=procedural_starfield(2048, 4096)
+        )
+        renderer.render(camera, effects, 0.0).block_until_ready()
 
     # Latency: blocking per frame.
     lat = []
@@ -139,7 +141,7 @@ def main():
         renderer.render(camera, effects, 10.0 + i / 24.0)
         for i in range(args.frames)
     ]
-    _jax.block_until_ready(outs)
+    jax.block_until_ready(outs)
     thr_ms = (_time.perf_counter() - t0) * 1000.0 / args.frames
 
     result = {

@@ -158,12 +158,17 @@ long fs_close(void* handle) {
   sink->cv_data.notify_all();
   sink->cv_space.notify_all();
   if (sink->writer.joinable()) sink->writer.join();
+  // The close itself can fail: fclose flushes the last stdio buffer (disk
+  // full), and pclose reports FFmpeg's exit status (a nonzero exit means
+  // the finalize — e.g. the MP4 moov atom — failed even if every fwrite
+  // succeeded). Both must surface as errors per this function's contract.
+  int close_rc;
   if (sink->is_pipe) {
-    pclose(sink->out);
+    close_rc = pclose(sink->out);
   } else {
-    fclose(sink->out);
+    close_rc = fclose(sink->out);
   }
-  bool err = sink->write_error;
+  bool err = sink->write_error || close_rc != 0;
   long n = sink->frames_written.load();
   delete sink;
   return err ? -1 : n;

@@ -519,3 +519,13 @@ def test_record_toggle_race_with_render_loop(monkeypatch):
         stop.set()
         t.join(5.0)
     s.close()
+
+
+def test_sink_surfaces_nonzero_pipe_exit(tmp_path):
+    """A pipe target that consumes every byte but exits nonzero (FFmpeg
+    failing at MP4 finalize) must fail close(), not report success."""
+    sink = FrameSink("cat > /dev/null; exit 3", 64, mode="pipe",
+                     queue_frames=2)
+    sink.submit(b"x" * 64)
+    with pytest.raises(IOError):
+        sink.close()

@@ -62,15 +62,22 @@ def run(width, height, time_s, max_steps):
     cam = camera_state_from_pose((0.0, 10.0, -60.0), 0.0, -10.0)
     origin, direction, _, _ = generate_rays(width, height, cam, CameraEffects())
 
-    # pad like the kernel does (edge clone) to the lcm of candidate shapes
+    # march at the lcm padding of all candidate shapes, but count each
+    # shape's work over ITS OWN padded extent — the kernel at (bh, bw)
+    # pads only to ceil(H/bh)*bh x ceil(W/bw)*bw, so counting the full lcm
+    # frame would charge phantom clone columns the real kernel never runs
     hp = (height + 63) // 64 * 64
     wp = (width + 255) // 256 * 256
     from relativisticraytracer_tpu.core.vecmath import Vec3
     origin = Vec3(*(_pad_to(c, hp, wp) for c in origin))
     direction = Vec3(*(_pad_to(c, hp, wp) for c in direction))
 
+    def shape_extent(bh, bw):
+        return ((height + bh - 1) // bh * bh, (width + bw - 1) // bw * bw)
+
     def reduce_shape(plane, bh, bw):
-        b = plane.reshape(hp // bh, bh, wp // bw, bw)
+        hs, ws = shape_extent(bh, bw)
+        b = plane[:hs, :ws].reshape(hs // bh, bh, ws // bw, bw)
         return jnp.any(b, axis=(1, 3))
 
     @jax.jit
@@ -93,12 +100,17 @@ def run(width, height, time_s, max_steps):
             )
             probe = jnp.logical_or(pd, pc)
             new_st = march_step(scene, st, jnp.float32(time_s))
-            outs = {
-                "probe_rays": jnp.sum(probe, dtype=jnp.int32),
-                "active_rays": jnp.sum(st.active, dtype=jnp.int32),
-            }
+            outs = {}
             for bh, bw in SHAPES:
                 key = f"{bh}x{bw}"
+                hs, ws = shape_extent(bh, bw)
+                # per-shape ideals over the SAME extent the kernel marches
+                outs[f"probe_rays_{key}"] = jnp.sum(
+                    probe[:hs, :ws], dtype=jnp.int32
+                )
+                outs[f"active_rays_{key}"] = jnp.sum(
+                    st.active[:hs, :ws], dtype=jnp.int32
+                )
                 outs[f"fire_{key}"] = jnp.sum(
                     reduce_shape(probe, bh, bw), dtype=jnp.int32
                 )
@@ -113,7 +125,6 @@ def run(width, height, time_s, max_steps):
     ys = jax.device_get(trace())
 
     lanes = {f"{bh}x{bw}": bh * bw for bh, bw in SHAPES}
-    n_rays = hp * wp
     report = {
         "meta": {
             "width": width, "height": height, "padded": [hp, wp],
@@ -125,23 +136,27 @@ def run(width, height, time_s, max_steps):
         # per-ray count — the divergence overhead of lock-step tiles.
         "march_lane_steps": {},
         # lane-steps of media shading under each cond granularity vs the
-        # ideal per-ray probe count — the media-cond overhead.
+        # ideal per-ray probe count — the media-cond overhead. Ideals are
+        # per-shape: each counted over that shape's own padded extent.
         "media_lane_steps": {},
-        "ideal": {
-            "ray_steps": int(ys["active_rays"].sum()),
-            "probe_ray_steps": int(ys["probe_rays"].sum()),
-        },
+        "ideal": {},
     }
     for key, lpt in lanes.items():
         report["march_lane_steps"][key] = int(ys[f"alive_{key}"].sum()) * lpt
         report["media_lane_steps"][key] = int(ys[f"fire_{key}"].sum()) * lpt
+        report["ideal"][key] = {
+            "ray_steps": int(ys[f"active_rays_{key}"].sum()),
+            "probe_ray_steps": int(ys[f"probe_rays_{key}"].sum()),
+        }
 
-    ideal_march = report["ideal"]["ray_steps"]
-    ideal_media = report["ideal"]["probe_ray_steps"]
     report["overhead_vs_ideal"] = {
         key: {
-            "march": round(report["march_lane_steps"][key] / max(1, ideal_march), 3),
-            "media": round(report["media_lane_steps"][key] / max(1, ideal_media), 3),
+            "march": round(
+                report["march_lane_steps"][key]
+                / max(1, report["ideal"][key]["ray_steps"]), 3),
+            "media": round(
+                report["media_lane_steps"][key]
+                / max(1, report["ideal"][key]["probe_ray_steps"]), 3),
         }
         for key in lanes
     }
@@ -149,8 +164,11 @@ def run(width, height, time_s, max_steps):
         "march/media values are lane-step counts: lanes that execute a "
         "step (whole tile while any ray is alive) / lanes that execute the "
         "media block (whole tile/cond-group when any lane probes). "
+        "Each shape is counted over ITS OWN padded extent "
+        "(ceil(H/bh)*bh x ceil(W/bw)*bw), matching what the kernel "
+        "actually marches; ideals are per-shape for the same reason. "
         "overhead_vs_ideal ~1.0 means the tile scheduling is already "
-        f"near-perfect; total rays {n_rays}."
+        "near-perfect."
     )
     return report
 

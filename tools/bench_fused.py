@@ -2,6 +2,11 @@
 """Quick fused-frame timing on the chip: full 1080p frame, march-only, and
 the q4 row-gather, all HARD-synced (on-device scalar fetched per batch)."""
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import time as _time
 
 import jax

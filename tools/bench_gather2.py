@@ -9,6 +9,11 @@ constant; realistic (render-derived) vs uniform-random indices; flat
 element take vs K=4 row take.
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import time as _time
 
 import jax
@@ -45,7 +50,6 @@ def main():
         skybox_from_array,
     )
     from relativisticraytracer_tpu.core.vecmath import normalize
-    from relativisticraytracer_tpu.config import PI
 
     scene = SceneConfig()
     sky = skybox_from_array(procedural_starfield(2048, 4096))
@@ -56,16 +60,11 @@ def main():
     )(jnp.float32(1.0)))
 
     def mkidx(vel):
-        d = normalize(vel)
-        phi = jnp.arctan2(d.z, d.x)
-        theta = jnp.arcsin(jnp.clip(d.y, -1.0, 1.0))
-        tx = 0.5 + phi / (2.0 * PI)
-        ty = 0.5 - theta / PI
-        ux = (tx - jnp.floor(tx)) * WT
-        vy = jnp.clip(ty, 0.0, 1.0) * (HT - 1)
-        x0 = jnp.floor(ux - 0.5).astype(jnp.int32) % WT
-        yq = jnp.floor(vy - 0.5).astype(jnp.int32) + 1
-        return yq * WT + x0
+        # the PRODUCTION index derivation (skybox.sky_coords), G channel
+        from relativisticraytracer_tpu.render.skybox import sky_coords
+        sh, sw = sky.shape
+        idx, _, _ = sky_coords(normalize(vel), jnp.float32(0.0), sh, sw)[1]
+        return idx
 
     idx_real = jax.block_until_ready(jax.jit(mkidx)(vel))
     tab = jax.block_until_ready(sky.qr.reshape(-1))

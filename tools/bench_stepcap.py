@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """March cost vs step cap — sizes the late-stage (sparse-lane) cost that a
 ray-repacking pass could reclaim."""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import sys
 import time as _time
 

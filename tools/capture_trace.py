@@ -2,6 +2,11 @@
 """Capture a jax.profiler trace of the 1080p fused frame and extract a
 per-op duration table from the perfetto JSON (no tensorflow needed)."""
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import collections
 import glob
 import gzip
@@ -37,13 +42,19 @@ def main():
     np.asarray(jnp.sum(fn(jnp.float32(0.5)).ravel()[:8].astype(jnp.int32)))  # warm
 
     logdir = "/tmp/rrt_trace"
+    # clear stale traces: a previous run's perfetto file would otherwise be
+    # picked up and silently analyzed instead of this build's
+    import shutil
+    shutil.rmtree(logdir, ignore_errors=True)
     with jax.profiler.trace(logdir, create_perfetto_trace=True):
         out = None
         for i in range(3):
             out = fn(jnp.float32(1.0 + i / 24.0))
         np.asarray(jnp.sum(out.ravel()[:8].astype(jnp.int32)))
 
-    files = glob.glob(f"{logdir}/**/*perfetto*", recursive=True)
+    files = sorted(glob.glob(f"{logdir}/**/*perfetto*", recursive=True),
+                   key=lambda f: pathlib.Path(f).stat().st_mtime,
+                   reverse=True)  # newest first
     print("perfetto files:", files)
     if not files:
         print("NO PERFETTO TRACE; files present:",

@@ -22,6 +22,11 @@ Usage: python tools/profile_stages.py [--width W --height H] [--reps K]
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import json
 import time as _time
@@ -130,20 +135,12 @@ def main():
     hq, wq = sky.qr.shape
 
     def sky_indices(vel):
-        from relativisticraytracer_tpu.config import PI
-        d = normalize(vel)
-        phi = jnp.arctan2(d.z, d.x)
-        theta = jnp.arcsin(jnp.clip(d.y, -1.0, 1.0))
-        tx = 0.5 + phi / (2.0 * PI)
-        ty = 0.5 - theta / PI
-        h_log = hq - 1
-        ux = (tx - jnp.floor(tx)) * jnp.float32(wq)
-        vy = jnp.clip(ty, 0.0, 1.0) * jnp.float32(h_log)
-        x0 = jnp.floor(ux - 0.5)
-        y0 = jnp.floor(vy - 0.5)
-        x0i = jnp.mod(x0.astype(jnp.int32), wq)
-        yq = y0.astype(jnp.int32) + 1
-        return yq * wq + x0i
+        # the PRODUCTION index derivation (one source of truth; a local
+        # copy here would silently drift from what the kernel gathers)
+        from relativisticraytracer_tpu.render.skybox import sky_coords
+        sh, sw = sky.shape
+        idx, _, _ = sky_coords(normalize(vel), jnp.float32(0.0), sh, sw)[1]
+        return idx
 
     idx = jax.block_until_ready(jax.jit(sky_indices)(vel))
 
@@ -179,7 +176,9 @@ def main():
     }
 
     import os
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"# wrote {args.out}")

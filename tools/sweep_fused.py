@@ -5,6 +5,11 @@ real chip (hard-synced). Usage:
     python tools/sweep_fused.py "32,128,8,0" "16,128,8,0" ...
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import sys
 import time as _time
 
