@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from relativisticraytracer_tpu.core.vecmath import Vec3, dot, length, lerp
+from relativisticraytracer_tpu.core.vecmath import Vec3, length, lerp
 
 _K = 0.1031    # hash multiplier (math_utils.h:66,92)
 _C = 33.33     # hash offset (math_utils.h:67-69,93)

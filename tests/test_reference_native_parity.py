@@ -283,8 +283,9 @@ def test_march_matches_compiled_reference(ref, ref_kerr, spin):
 # ----------------------------------------------------------- full frame ---
 
 
-def _frame_pair(oracle, scene, time, pose, sky, effects_on=True):
-    w, h = 96, 64
+def _frame_pair(oracle, scene, time, pose, sky, effects_on=True,
+                size=(96, 64)):
+    w, h = size
     cam = camera_state_from_pose(*pose)
     cam12 = np.concatenate([np.asarray(cam.pos), np.asarray(cam.forward),
                             np.asarray(cam.right), np.asarray(cam.up)])
@@ -334,4 +335,15 @@ def test_full_frame_no_effects_black_bg_matches_compiled_reference(ref):
     got, want = _frame_pair(
         ref, SceneConfig(max_steps=FRAME_STEPS), 2.5,
         ((0.0, 10.0, -60.0), 0.0, -10.0), None, effects_on=False)
+    _gate(got, want)
+
+
+def test_full_frame_larger_offaxis_matches_compiled_reference(ref, sky):
+    """A 192x108 frame (3.4x the pixel count of the other cases) from an
+    off-axis pose below the disk plane — scale-up insurance that the
+    96x64 gates aren't hiding resolution-dependent divergence (ray-gen
+    UV math, aspect handling, FX uv terms all depend on w/h)."""
+    got, want = _frame_pair(
+        ref, SceneConfig(max_steps=FRAME_STEPS), 7.0,
+        ((-18.0, -5.0, -38.0), 18.0, 4.0), sky, size=(192, 108))
     _gate(got, want)
