@@ -92,9 +92,17 @@ def cmd_anim(args):
         path=path, renderer=r, effects=effects, fps=args.fps,
         duration=args.duration, out_path=args.out,
     )
+    devices = None
+    if args.devices:
+        import jax
+
+        all_devs = jax.devices()
+        n = len(all_devs) if args.devices == "all" else int(args.devices)
+        devices = all_devs[:n]
+        print(f"frame-parallel across {len(devices)} device(s)")
     print(f"rendering '{path.name}': {job.total_frames()} frames "
           f"@ {args.width}x{args.height}")
-    stats = job.run(progress=lambda k, n, ms: print(
+    stats = job.run(devices=devices, progress=lambda k, n, ms: print(
         f"\r  frame {k}/{n} ({ms:.0f} ms)", end="", flush=True))
     print(f"\n{stats}")
 
@@ -214,6 +222,10 @@ def main(argv=None):
                              "to raw .rgba + sidecar), or a directory / "
                              "trailing-slash path for a resumable PNG "
                              "frame sequence")
+    p_anim.add_argument("--devices", default=None,
+                        help="'all' or a count N: render whole frames "
+                             "round-robin across that many chips "
+                             "(zero-communication linear scaling)")
     p_anim.set_defaults(fn=cmd_anim)
 
     p_live = sub.add_parser(

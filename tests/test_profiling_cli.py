@@ -114,3 +114,21 @@ def test_cli_preset_resolution(tmp_path):
 
     img = load_image_rgba(str(out))
     assert img.shape == (12, 480, 4)
+
+
+def test_cli_anim_frame_parallel_devices(tmp_path, monkeypatch):
+    """anim --devices all round-robins frames across the virtual CPU mesh
+    and produces the identical byte stream to a single-device run."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    one = tmp_path / "one.mp4"
+    par = tmp_path / "par.mp4"
+    base = ["anim", "--width", "16", "--height", "8", "--max-steps", "8",
+            "--loop", "while", "--fps", "2", "--duration", "2.0",
+            "--no-effects"]
+    cli_main(base + ["--out", str(one)])
+    cli_main(base + ["--out", str(par), "--devices", "all"])
+    a = one.with_suffix(".rgba").read_bytes()
+    b = par.with_suffix(".rgba").read_bytes()
+    assert a == b and len(a) == 4 * 16 * 8 * 4
