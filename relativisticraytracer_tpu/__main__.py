@@ -22,6 +22,24 @@ PRESETS = {
 }
 
 
+def _devices_arg(s):
+    """'all' or a positive device count — validated at parse time so a typo
+    fails with a usage error instead of a traceback (or a silent clamp)."""
+    if s == "all":
+        return s
+    try:
+        n = int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected 'all' or a positive integer, got {s!r}"
+        )
+    if n <= 0:
+        raise argparse.ArgumentTypeError(
+            f"device count must be positive, got {n}"
+        )
+    return n
+
+
 def _add_render_args(p):
     p.add_argument("--preset", choices=sorted(PRESETS), default=None,
                    help="resolution preset (cinema=1080p, preview=540p, "
@@ -97,7 +115,11 @@ def cmd_anim(args):
         import jax
 
         all_devs = jax.devices()
-        n = len(all_devs) if args.devices == "all" else int(args.devices)
+        n = len(all_devs) if args.devices == "all" else args.devices
+        if n > len(all_devs):
+            raise SystemExit(
+                f"--devices {n}: only {len(all_devs)} device(s) available"
+            )
         devices = all_devs[:n]
         print(f"frame-parallel across {len(devices)} device(s)")
     print(f"rendering '{path.name}': {job.total_frames()} frames "
@@ -222,7 +244,7 @@ def main(argv=None):
                              "to raw .rgba + sidecar), or a directory / "
                              "trailing-slash path for a resumable PNG "
                              "frame sequence")
-    p_anim.add_argument("--devices", default=None,
+    p_anim.add_argument("--devices", default=None, type=_devices_arg,
                         help="'all' or a count N: render whole frames "
                              "round-robin across that many chips "
                              "(zero-communication linear scaling)")

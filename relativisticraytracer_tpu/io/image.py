@@ -64,8 +64,23 @@ class FrameSequenceWriter:
         self._next = 0
 
     def resume(self) -> int:
-        """First missing frame index (files must be consecutive from 0)."""
+        """First missing frame index (files must be consecutive from 0).
+
+        Refuses to resume into a directory whose existing frames were
+        written at a different resolution — the PNG-sequence analog of
+        VideoRecorder's geometry-checked sidecar."""
         self.dir.mkdir(parents=True, exist_ok=True)
+        first = self.dir / self.FMT.format(0)
+        if first.exists():
+            from PIL import Image
+
+            with Image.open(first) as im:
+                if im.size != (self.width, self.height):
+                    raise ValueError(
+                        f"cannot resume into {self.dir}: existing frames are "
+                        f"{im.size[0]}x{im.size[1]}, this run renders "
+                        f"{self.width}x{self.height}"
+                    )
         k = 0
         while (self.dir / self.FMT.format(k)).exists():
             k += 1

@@ -125,7 +125,13 @@ class Session:
     def tick(self, wall_dt: float) -> np.ndarray:
         """Advance the sim clock and render one frame. While recording, dt is
         pinned to 1/RECORDING_FPS (main.cpp:511-513)."""
-        dt = 1.0 / RECORDING_FPS if self.recorder.is_recording else wall_dt
+        # Snapshot the recording flag under the lock ONCE: both the sim
+        # clock and the renderer choice must agree with what capture sees,
+        # or an HTTP-thread R-toggle between the check and the capture
+        # could record a reduced-quality motion frame.
+        with self._rec_lock:
+            recording = self.recorder.is_recording
+        dt = 1.0 / RECORDING_FPS if recording else wall_dt
         self.sim_time += dt
         self.paths.update(dt)
         cam = (
@@ -134,15 +140,24 @@ class Session:
             else self.camera.state()
         )
         r = self.renderer
+        used_motion = False
         if (
             self.motion_renderer is not None
-            and not self.recorder.is_recording
+            and not recording
             and _time.perf_counter() - self._last_input < self.motion_hold_s
         ):
             r = self.motion_renderer
+            used_motion = True
         frame = r.render_np(cam, self.effects, self.sim_time)
         with self._rec_lock:
             if self.recorder.is_recording:
+                if used_motion:
+                    # recording toggled on mid-tick after a motion-quality
+                    # render — re-render at full quality so the recorded
+                    # stream never contains a reduced-step frame
+                    frame = self.renderer.render_np(
+                        cam, self.effects, self.sim_time
+                    )
                 self.recorder.capture(frame)
         self.frame_count += 1
         self._fps_frames += 1
@@ -287,6 +302,20 @@ class AnimationJob:
                 for f in seq.dir.glob("frame_*.png"):
                     f.unlink()
                 start_frame = seq.resume()
+            elif resume:
+                # A prior run with a longer duration / higher fps may have
+                # left frames beyond this run's count; drop them so the
+                # directory holds exactly the advertised sequence.
+                n = self.total_frames()
+                for f in seq.dir.glob("frame_*.png"):
+                    try:
+                        idx = int(f.stem.split("_")[1])
+                    except (IndexError, ValueError):
+                        continue
+                    if idx >= n:
+                        f.unlink()
+                start_frame = min(start_frame, n)
+                seq._next = start_frame
             return (seq.capture, lambda k: None, seq.stop, seq.abort,
                     self.out_path, start_frame)
 

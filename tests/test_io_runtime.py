@@ -529,3 +529,69 @@ def test_sink_surfaces_nonzero_pipe_exit(tmp_path):
     sink.submit(b"x" * 64)
     with pytest.raises(IOError):
         sink.close()
+
+
+def test_motion_race_rerenders_full_quality(monkeypatch):
+    """If recording toggles ON (HTTP thread) after tick() chose the motion
+    renderer but before capture, the captured frame must be re-rendered at
+    full quality — never a reduced-step motion frame (advisor round 2)."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    quality, motion = _tiny_renderer(), _tiny_renderer()
+    used = []
+    s = Session(renderer=quality, motion_renderer=motion, motion_hold_s=5.0)
+
+    def tag(r, name, race=False):
+        real = r.render_np
+
+        def wrapped(*a, **k):
+            used.append(name)
+            if race and not s.recorder.is_recording:
+                s.handle_key("r")  # recording toggles on MID-render
+            return real(*a, **k)
+
+        r.render_np = wrapped
+
+    tag(quality, "quality")
+    tag(motion, "motion", race=True)
+    captured = []
+    real_capture = s.recorder.capture
+    s.recorder.capture = lambda f: (captured.append(list(used)),
+                                    real_capture(f))[1]
+    s.handle_key("w")                  # recent input -> motion renderer
+    s.tick(0.01)
+    s.close()
+    # motion rendered first, then the capture-side re-render at full quality
+    assert used == ["motion", "quality"]
+    assert captured and captured[0] == ["motion", "quality"]
+
+
+def test_png_resume_geometry_mismatch(tmp_path):
+    """Resuming a PNG sequence at a different resolution must refuse, like
+    VideoRecorder's geometry-checked sidecar (advisor round 2)."""
+    from relativisticraytracer_tpu.io.image import FrameSequenceWriter
+
+    a = FrameSequenceWriter(str(tmp_path), 16, 12)
+    a.resume()
+    a.capture(np.zeros((12, 16, 4), dtype=np.uint8))
+    b = FrameSequenceWriter(str(tmp_path), 8, 6)
+    with pytest.raises(ValueError, match="16x12"):
+        b.resume()
+
+
+def test_png_resume_drops_stale_tail(tmp_path):
+    """Resuming with a SHORTER duration must not leave stale high-index
+    frames from the longer previous run in the directory (advisor round 2)."""
+    r = _tiny_renderer()
+    out_dir = tmp_path / "frames"
+    job = AnimationJob(path=default_paths()[0], renderer=r, fps=2,
+                       duration=3.0, out_path=str(out_dir) + "/")
+    job.run()
+    assert len(list(out_dir.glob("frame_*.png"))) == 6
+    short = AnimationJob(path=default_paths()[0], renderer=r, fps=2,
+                         duration=2.0, out_path=str(out_dir) + "/")
+    stats = short.run(resume=True)
+    files = sorted(f.name for f in out_dir.glob("frame_*.png"))
+    assert files == [f"frame_{k:05d}.png" for k in range(4)]
+    assert stats["frames_written"] == 4

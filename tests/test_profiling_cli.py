@@ -132,3 +132,23 @@ def test_cli_anim_frame_parallel_devices(tmp_path, monkeypatch):
     a = one.with_suffix(".rgba").read_bytes()
     b = par.with_suffix(".rgba").read_bytes()
     assert a == b and len(a) == 4 * 16 * 8 * 4
+
+
+def test_cli_devices_arg_validation(tmp_path):
+    """--devices validates at parse time: non-integers and non-positive
+    counts are usage errors; counts beyond the device pool fail loudly
+    instead of silently clamping (advisor round 2)."""
+    base = ["anim", "--width", "8", "--height", "6", "--fps", "2",
+            "--duration", "1.0", "--max-steps", "8",
+            "--out", str(tmp_path / "f") + "/"]
+    with pytest.raises(SystemExit):
+        cli_main(base + ["--devices", "two"])
+    with pytest.raises(SystemExit):
+        cli_main(base + ["--devices", "0"])
+    with pytest.raises(SystemExit):
+        cli_main(base + ["--devices", "-3"])
+    import jax
+
+    too_many = str(len(jax.devices()) + 1)
+    with pytest.raises(SystemExit):
+        cli_main(base + ["--devices", too_many])
