@@ -178,6 +178,16 @@ class RenderSettings:
     # pixel): rays are traced on an (s*H, s*W) grid and box-filtered after
     # tone mapping. 1 = reference behavior.
     supersample: int = 1
+    # Media scheduling on the Pallas path: "inline" shades under whole-tile
+    # conds inside the march (round-2 kernel); "compact" records media
+    # segments during a vacuum-cost march and replays ONLY those segments in
+    # a dense second pass (ops/pallas_compact.py) — bitwise-equal output
+    # (chip-gated, tools/chip_parity_compact.py) at 216 vs 258 ms for the
+    # 1080p headline frame. Ignored off the pallas path.
+    media_pass: str = "compact"
+    # Exactly-tracked media segments per ray on the compact path; later
+    # crossings merge into the last slot (replayed with harmless gap steps).
+    media_slots: int = 3
 
     def resolved_loop(self) -> str:
         if self.loop != "auto":

@@ -1,0 +1,648 @@
+"""Segment-replay media compaction: two Pallas passes instead of one.
+
+The round-2 fused kernel shades media under whole-tile conds, which
+executes ~3.3x the per-ray-ideal media lane-steps at 1080p (~80 ms of
+provably skippable 5-octave-fbm work, docs/media_fire.json). The reference
+GPU pays media cost only on the threads that are actually inside a medium
+(divergent branch, src/raymarcher.cu:67-117); this module is the TPU
+equivalent of that scheduling.
+
+Key physics fact making it exact: the TRAJECTORY is independent of the
+media (media only accumulate color along it), and the conservative probes
+(media/densities.py:disk_probe_bounds/cloud_probe_bounds) guarantee zero
+emission AND zero opacity wherever they are False — so skipping probe-False
+steps changes nothing (tests/test_densities.py). The march therefore splits:
+
+  A) the RECORD pass (`march_pallas_camera_sky_record`): the round-2 fused
+     kernel with the shading block swapped for a ~40-op recorder. Per ray
+     it stores up to SLOTS media segments — PRE-step position + velocity at
+     segment entry, plus the segment length in steps — into output refs
+     (mutated in place inside the while body under a "any lane probes"
+     cond, so the loop carry stays the same size as the vacuum kernel).
+     Segments beyond the last slot MERGE into it: the recorded span then
+     covers the probe-false gap steps too, which the replay marches
+     harmlessly (densities are exactly 0 there) — merging costs work,
+     never correctness.
+
+  B) the REPLAY pass (`media_replay`): each lane re-integrates ONLY its
+     recorded segments, back-to-back. RK4 from the recorded entry state
+     reproduces A's positions bitwise (same function, same inputs, h is a
+     pure function of position), so the shading is bit-identical to the
+     inline path — verified by tests/test_compact.py's exact-equality
+     gates. Every loop iteration shades for every lane that still has
+     steps left: the tile pays max-over-lanes of per-lane media steps
+     (~1.0-1.5x ideal) instead of "any lane probes" (3.3x).
+
+Compositing splits exactly: transmittance only changes inside media, so
+B's running (intensity, transmittance) across its segments IS the
+reference's accumulation restricted to media steps; the final frame is
+  hdr = I_B + bg * (0 if captured else T_B)
+with A providing the capture mask and the in-kernel sky addressing
+(raymarcher.cu:123-150 semantics, as in ops/pallas_march.py).
+
+Reference correspondence: raymarcher.cu:41-121 (march), 67-117 (media),
+107-115 (compositing), 123-150 (background).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from relativisticraytracer_tpu.config import (
+    CameraEffects,
+    RenderSettings,
+    SceneConfig,
+)
+from relativisticraytracer_tpu.core.utils import largest_divisor_at_most
+from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
+from relativisticraytracer_tpu.render.march import (
+    MarchState,
+    _media_contribution,
+    adaptive_h,
+    compose_step,
+    march_step,
+    media_probes,
+    media_zones,
+)
+from relativisticraytracer_tpu.render.postfx import (
+    apply_effects_and_tonemap,
+    downsample_box,
+    pack_rgba8,
+    pack_rgba8_word,
+    word_to_rgba8,
+)
+from relativisticraytracer_tpu.render.skybox import (
+    Skybox,
+    gather_sky_coords,
+    sky_coords,
+)
+
+# Default number of exactly-tracked segments per ray; the 4th, 5th, ...
+# crossings merge into the last slot (gap steps are replayed harmlessly).
+SLOTS = 3
+B_UNROLL = 4
+
+
+def _any(*xs):
+    out = None
+    for x in xs:
+        if x is None:
+            continue
+        out = x if out is None else jnp.logical_or(out, x)
+    return out
+
+
+# --------------------------------------------------------------------------
+# A: the record pass
+# --------------------------------------------------------------------------
+
+
+def _record_march_loop(scene: SceneConfig, max_steps: int, unroll: int,
+                       slots: int, t, make_state, rec_refs):
+    """Tile march loop at vacuum cost + segment recording into `rec_refs`
+    = (px, py, pz, vx, vy, vz, length)[slots] output refs (tile blocks).
+
+    The while carry is the vacuum MarchState plus three f32 planes
+    (in_seg, slot count k, current-segment entry step) and the step
+    counter; the record planes live in the refs and are only touched under
+    a per-step "any lane probes" lax.cond."""
+    state = make_state()
+    zeros = jnp.zeros_like(state.p.x)
+    for refs in rec_refs:
+        refs[6][...] = zeros          # lengths: 0 = empty slot
+        for j in range(6):
+            refs[j][...] = zeros      # entry states: benign r=0 (acc==0)
+
+    # Two structural lessons are baked into this loop, both measured on
+    # chip at 1080p (tools/bench_compact.py):
+    #   * the while carry is expensive — intensity/transmittance are
+    #     dropped (they enter march_step as constants; the dead selects
+    #     are eliminated), and a denser k+in_seg floor-packing measured
+    #     38 ms WORSE (decode ops beat the saved plane);
+    #   * a lax.cond EVALUATED per step costs ~75 ns per tile-step even
+    #     when it almost never fires (~40 ms/frame at 1080p), so the
+    #     recorder tracks events UNCONDITIONALLY with ~11 cheap ops per
+    #     substep and commits ref writes in ONE block-end cond per
+    #     `unroll` steps. Within-block gaps (a segment falling and
+    #     re-entering between two commits) merge into one recorded span —
+    #     exact, because the replay shades the gap steps as provable
+    #     zeros, the same argument as slot-overflow merging.
+    #
+    # Per-lane recording state across blocks: in_seg (was the lane probing
+    # at its last executed substep), k (segments seen), entry (entry step
+    # of the current slot). Within a block the hook folds per-substep
+    # capture into running planes (first-entry position/velocity/step,
+    # last probing step), so nothing beyond ~8 planes stays live.
+    def pack(st, in_seg, k, entry, i):
+        return (st.p, st.v, st.hit_horizon.astype(jnp.float32),
+                st.active.astype(jnp.float32), in_seg, k, entry, i)
+
+    def unpack(c):
+        p, v, hit_f, act_f = c[:4]
+        zero = jnp.zeros_like(p.x)
+        st = MarchState(p, v, Vec3(zero, zero, zero), jnp.ones_like(zero),
+                        hit_f > 0.5, act_f > 0.5)
+        return st, c[4], c[5], c[6], c[7]
+
+    def cond(carry):
+        return jnp.logical_and(carry[7] < max_steps, jnp.any(carry[3] > 0.5))
+
+    def body(carry):
+        st, in_seg, k, entry, i = unpack(carry)
+        open0 = in_seg > 0.5
+        zero = jnp.zeros_like(in_seg)
+        cell = {
+            "u": 0,
+            "entered": jnp.zeros_like(open0),
+            # last probing step; seeded i-1 so an open0 segment that never
+            # probes again in this block flushes len = (i-1) + 1 - entry
+            "last_probe": i - 1.0 + zero,
+            "cap_p": (zero, zero, zero),
+            "cap_v": (zero, zero, zero),
+            "cap_fi": zero,
+            "probe_last": open0,
+        }
+
+        def hook(p_pre, v_pre, rel, r2, v_new, in_disk_zone, in_cloud_zone,
+                 h, active, intensity, trans):
+            pd, pc = media_probes(scene, rel, in_disk_zone, in_cloud_zone,
+                                  active)
+            probe = _any(pd, pc)
+            fi = i + float(cell["u"])
+            first_entry = jnp.logical_and(
+                probe,
+                jnp.logical_and(jnp.logical_not(open0),
+                                jnp.logical_not(cell["entered"])),
+            )
+            cell["cap_p"] = tuple(
+                jnp.where(first_entry, val, cap)
+                for cap, val in zip(cell["cap_p"], (p_pre.x, p_pre.y, p_pre.z))
+            )
+            cell["cap_v"] = tuple(
+                jnp.where(first_entry, val, cap)
+                for cap, val in zip(cell["cap_v"], (v_pre.x, v_pre.y, v_pre.z))
+            )
+            cell["cap_fi"] = jnp.where(first_entry, fi, cell["cap_fi"])
+            cell["last_probe"] = jnp.where(probe, fi, cell["last_probe"])
+            cell["entered"] = jnp.logical_or(cell["entered"], probe)
+            cell["probe_last"] = probe
+            cell["u"] += 1
+            return intensity, trans
+
+        for _ in range(unroll):
+            st = march_step(scene, st, t, media_hook=hook)
+
+        new_commit = jnp.logical_and(cell["entered"],
+                                     jnp.logical_not(open0))
+        seg_exists = jnp.logical_or(open0, cell["entered"])
+        flush = jnp.logical_and(seg_exists,
+                                jnp.logical_not(cell["probe_last"]))
+
+        def commit(k, entry):
+            k2 = k + new_commit.astype(jnp.float32)
+            new_slot = jnp.logical_and(new_commit, k < float(slots))
+            # re-entry past the last slot merges: entry (and any length
+            # already flushed for that slot) stretches over the gap
+            entry2 = jnp.where(new_slot, cell["cap_fi"], entry)
+            for j, refs in enumerate(rec_refs):
+                mj = jnp.logical_and(new_slot, k == float(j))
+                for ref, val in zip(refs[:6],
+                                    cell["cap_p"] + cell["cap_v"]):
+                    ref[...] = jnp.where(mj, val, ref[...])
+            slot = jnp.minimum(k2, float(slots)) - 1.0
+            for j, refs in enumerate(rec_refs):
+                upd = jnp.logical_and(flush, slot == float(j))
+                refs[6][...] = jnp.where(
+                    upd, cell["last_probe"] + 1.0 - entry2, refs[6][...]
+                )
+            return k2, entry2
+
+        def skip(k, entry):
+            return k, entry
+
+        k, entry = jax.lax.cond(
+            jnp.any(jnp.logical_or(new_commit, flush)), commit, skip,
+            k, entry,
+        )
+        return pack(st, cell["probe_last"].astype(jnp.float32), k, entry,
+                    i + float(unroll))
+
+    init = pack(state, zeros, zeros, zeros, jnp.float32(0.0))
+    carry = jax.lax.while_loop(cond, body, init)
+    st, in_seg, k, entry, i = unpack(carry)
+    # Flush segments still open at loop exit (step-cap saturation, or the
+    # tile finished on the same step a segment ended): the block-end flush
+    # never fired for these lanes. The last probing step was i-1.
+    open_seg = in_seg > 0.5
+    slot = jnp.minimum(k, float(slots)) - 1.0
+    for j, refs in enumerate(rec_refs):
+        upd = jnp.logical_and(open_seg, slot == float(j))
+        refs[6][...] = jnp.where(upd, i - entry, refs[6][...])
+    return st
+
+
+def _record_camera_sky_kernel(scene: SceneConfig, max_steps: int,
+                              unroll: int, slots: int,
+                              width: int, height: int,
+                              block_h: int, block_w: int, nbx: int,
+                              sky_h: int, sky_w: int,
+                              scal_ref, hit_ref,
+                              idx_refs, fx_refs, fy_refs, rec_refs):
+    """Record-pass kernel: in-kernel ray gen + vacuum march + segment
+    recording + in-kernel sky addressing (same epilogue as
+    ops/pallas_march._march_camera_sky_kernel)."""
+    from relativisticraytracer_tpu.ops.pallas_march import _gen_tile_rays
+
+    t, cam_pos, rd = _gen_tile_rays(scal_ref, width, height,
+                                    block_h, block_w, nbx)
+    ca_eff = scal_ref[15]
+
+    def make_state():
+        zeros = jnp.zeros_like(rd.x)
+        return MarchState(
+            p=Vec3(zeros + cam_pos[0], zeros + cam_pos[1],
+                   zeros + cam_pos[2]),
+            v=Vec3(rd.x, rd.y, rd.z),
+            intensity=Vec3(zeros, zeros, zeros),
+            transmittance=jnp.ones_like(zeros),
+            hit_horizon=jnp.zeros_like(zeros, dtype=bool),
+            active=jnp.ones_like(zeros, dtype=bool),
+        )
+
+    state = _record_march_loop(scene, max_steps, unroll, slots, t,
+                               make_state, rec_refs)
+    hit_ref[...] = state.hit_horizon.astype(jnp.float32)
+    d = normalize(state.v)
+    for (idx, fx, fy), idx_ref, fx_ref, fy_ref in zip(
+        sky_coords(d, ca_eff, sky_h, sky_w), idx_refs, fx_refs, fy_refs
+    ):
+        idx_ref[...] = idx
+        fx_ref[...] = fx
+        fy_ref[...] = fy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scene", "width", "height", "max_steps", "sky_h", "sky_w",
+        "block_h", "block_w", "unroll", "slots", "interpret",
+    ),
+)
+def march_pallas_camera_sky_record(
+    scene: SceneConfig,
+    camera,
+    effects: CameraEffects,
+    time,
+    width: int,
+    height: int,
+    max_steps: int,
+    sky_h: int,
+    sky_w: int,
+    block_h: int = 32,
+    block_w: int = 128,
+    unroll: int = 8,
+    slots: int = SLOTS,
+    interpret: bool = False,
+):
+    """The A pass. Returns lane-tile-layout planes:
+
+      (hit, (idx_r, idx_g, idx_b), (fx_r...), (fy_r...),
+       records) where records = tuple of `slots` tuples
+      (px, py, pz, vx, vy, vz, length).
+    """
+    if (block_h * block_w) % 128:
+        raise ValueError("block_h*block_w must be a multiple of 128")
+    hp = (height + block_h - 1) // block_h * block_h
+    wp = (width + block_w - 1) // block_w * block_w
+    nby, nbx = hp // block_h, wp // block_w
+    num_blocks = nby * nbx
+    tile_rows = (block_h * block_w) // 128
+
+    ca_eff = jnp.where(
+        effects.use_chromatic_aberration > 0.5,
+        effects.ca_amount, jnp.float32(0.0),
+    )
+    scal = jnp.concatenate([
+        jnp.asarray(time, jnp.float32).reshape(1),
+        jnp.asarray(camera.pos, jnp.float32).reshape(3),
+        jnp.asarray(camera.forward, jnp.float32).reshape(3),
+        jnp.asarray(camera.right, jnp.float32).reshape(3),
+        jnp.asarray(camera.up, jnp.float32).reshape(3),
+        jnp.asarray(effects.use_lens_distortion, jnp.float32).reshape(1),
+        jnp.asarray(effects.distortion_amount, jnp.float32).reshape(1),
+        jnp.asarray(ca_eff, jnp.float32).reshape(1),
+    ])
+
+    tile_spec = pl.BlockSpec(
+        (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    fshape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((num_blocks * tile_rows, 128), jnp.int32)
+
+    unroll = largest_divisor_at_most(max_steps, unroll)
+    n_out = 10 + 7 * slots
+
+    def kernel(scal_ref, *refs):
+        hit_ref = refs[0]
+        idx_refs = refs[1:4]
+        fx_refs = refs[4:7]
+        fy_refs = refs[7:10]
+        rec_refs = tuple(
+            tuple(refs[10 + 7 * s + j] for j in range(7))
+            for s in range(slots)
+        )
+        _record_camera_sky_kernel(
+            scene, max_steps, unroll, slots, width, height,
+            block_h, block_w, nbx, sky_h, sky_w,
+            scal_ref, hit_ref, idx_refs, fx_refs, fy_refs, rec_refs,
+        )
+
+    avg_steps = max(1, max_steps // 3)
+    cost = pl.CostEstimate(
+        flops=int(hp * wp) * avg_steps * 220,
+        bytes_accessed=int(hp * wp) * 4 * n_out,
+        transcendentals=int(hp * wp) * avg_steps * 4,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[tile_spec] * n_out,
+        out_shape=[fshape] + [ishape] * 3 + [fshape] * (6 + 7 * slots),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(scal)
+
+    hit = outs[0]
+    idx3, fx3, fy3 = tuple(outs[1:4]), tuple(outs[4:7]), tuple(outs[7:10])
+    records = tuple(
+        tuple(outs[10 + 7 * s + j] for j in range(7)) for s in range(slots)
+    )
+    return hit, idx3, fx3, fy3, records
+
+
+# --------------------------------------------------------------------------
+# B: the replay pass
+# --------------------------------------------------------------------------
+
+
+def _replay_step(scene: SceneConfig, p, v, intensity, trans, steps_left, t):
+    """One replay step: the inline march_step's h/RK4/shading path restricted
+    to what can happen inside a recorded span (r >= the media inner radii,
+    so no horizon/escape handling — see module docstring). Reuses the exact
+    shared helpers so every op matches the inline path bitwise.
+
+    The disk/cloud blocks run under the SAME per-type tile conds as the
+    inline kernel: segments are recorded on the UNION probe, but e.g. a
+    disk-only crossing never pays the (2x more expensive) cloud noise —
+    the probe being False guarantees that block contributes exactly 0."""
+    from relativisticraytracer_tpu.physics.integrators import rk4_step
+
+    active = steps_left > 0.0
+    rel = p if scene.mass_pos == (0.0, 0.0, 0.0) else Vec3(
+        p.x - scene.mass_pos[0], p.y - scene.mass_pos[1],
+        p.z - scene.mass_pos[2],
+    )
+    r2 = rel.x * rel.x + rel.y * rel.y + rel.z * rel.z
+    in_disk_zone, in_cloud_zone = media_zones(scene, rel, r2)
+    h = adaptive_h(scene, r2, in_disk_zone, in_cloud_zone, active)
+    pd, pc = media_probes(scene, rel, in_disk_zone, in_cloud_zone, active)
+    p, v = rk4_step(scene, p, v, h)
+    in_media = jnp.logical_and(
+        active, jnp.logical_or(in_disk_zone, in_cloud_zone)
+    )
+    emit, opacity = _media_contribution(
+        scene, rel, r2, v, in_disk_zone, in_cloud_zone, t,
+        disk_pred=None if pd is None else jnp.any(pd),
+        cloud_pred=None if pc is None else jnp.any(pc),
+    )
+    intensity, trans = compose_step(
+        intensity, trans, emit.x, emit.y, emit.z, opacity, in_media, h
+    )
+    return p, v, intensity, trans, steps_left - active.astype(jnp.float32)
+
+
+def _replay_kernel(scene: SceneConfig, slots: int, unroll: int, max_steps: int,
+                   scal_ref, *refs):
+    """Replay-pass kernel: lanes march their recorded segments back-to-back;
+    the tile runs to its slowest lane's total media steps."""
+    rec = tuple(
+        tuple(refs[7 * s + j] for j in range(7)) for s in range(slots)
+    )
+    ir_ref, ig_ref, ib_ref, tr_ref = refs[7 * slots:7 * slots + 4]
+    t = scal_ref[0]
+
+    def rvec(s):
+        return (Vec3(rec[s][0][...], rec[s][1][...], rec[s][2][...]),
+                Vec3(rec[s][3][...], rec[s][4][...], rec[s][5][...]),
+                rec[s][6][...])
+
+    p, v, steps_left = rvec(0)
+    zeros = jnp.zeros_like(steps_left)
+    intensity = Vec3(zeros, zeros, zeros)
+    trans = jnp.ones_like(zeros)
+    slot = zeros
+
+    def pack(p, v, inten, trans, steps_left, slot, i=jnp.int32(0)):
+        return (p, v, inten, trans, steps_left, slot, i)
+
+    def cond(c):
+        # iteration cap: recorded lengths are <= max_steps by construction,
+        # so slots*max_steps bounds any lane — insurance, not a semantic
+        return jnp.logical_and(c[6] < slots * max_steps,
+                               jnp.any(c[4] > 0.0))
+
+    def body(c):
+        p, v, intensity, trans, steps_left, slot, i = c
+        for _ in range(unroll):
+            was_active = steps_left > 0.0
+            p, v, intensity, trans, steps_left = _replay_step(
+                scene, p, v, intensity, trans, steps_left, t
+            )
+            if slots > 1:
+                # a lane whose segment just drained loads its next slot
+                need = jnp.logical_and(
+                    jnp.logical_and(was_active, steps_left <= 0.0),
+                    slot < float(slots - 1),
+                )
+
+                def load(p, v, steps_left, slot):
+                    s2 = slot + need.astype(jnp.float32)
+                    for s in range(1, slots):
+                        m = jnp.logical_and(need, s2 == float(s))
+                        ps, vs, ls = rvec(s)
+                        p = Vec3(jnp.where(m, ps.x, p.x),
+                                 jnp.where(m, ps.y, p.y),
+                                 jnp.where(m, ps.z, p.z))
+                        v = Vec3(jnp.where(m, vs.x, v.x),
+                                 jnp.where(m, vs.y, v.y),
+                                 jnp.where(m, vs.z, v.z))
+                        steps_left = jnp.where(m, ls, steps_left)
+                    return p, v, steps_left, s2
+
+                def skip(p, v, steps_left, slot):
+                    return p, v, steps_left, slot
+
+                p, v, steps_left, slot = jax.lax.cond(
+                    jnp.any(need), load, skip, p, v, steps_left, slot
+                )
+        return pack(p, v, intensity, trans, steps_left, slot, i + unroll)
+
+    c = jax.lax.while_loop(
+        cond, body, pack(p, v, intensity, trans, steps_left, slot)
+    )
+    intensity, trans = c[2], c[3]
+    ir_ref[...] = intensity.x
+    ig_ref[...] = intensity.y
+    ib_ref[...] = intensity.z
+    tr_ref[...] = trans
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scene", "slots", "unroll", "max_steps", "b_rows",
+                     "interpret"),
+)
+def media_replay(
+    scene: SceneConfig,
+    records,
+    time,
+    max_steps: int,
+    slots: int = SLOTS,
+    unroll: int = B_UNROLL,
+    b_rows: int = 16,
+    interpret: bool = False,
+):
+    """The B pass: replay recorded media segments. `records` is the tuple
+    from march_pallas_camera_sky_record, in lane-tile layout [(N, 128)].
+    Returns (intensity Vec3, transmittance), same layout.
+
+    b_rows: lane rows per replay tile. The record layout groups each
+    (32, 128) image block as 32 consecutive lane rows, so any divisor of
+    32 slices blocks into spatially-coherent (b_rows, 128) image strips —
+    smaller tiles pay less max-over-lanes divergence."""
+    n_rows = records[0][0].shape[0]
+    tile_rows = b_rows
+    num_blocks = n_rows // tile_rows
+    tile_spec = pl.BlockSpec(
+        (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    fshape = jax.ShapeDtypeStruct((n_rows, 128), jnp.float32)
+    scal = jnp.asarray(time, jnp.float32).reshape(1)
+    flat = [r for slot in records for r in slot]
+
+    kernel = functools.partial(_replay_kernel, scene, slots,
+                               largest_divisor_at_most(max_steps, unroll),
+                               max_steps)
+    # media replay: ~35 ideal media steps/ray avg at 1080p, dense shading
+    cost = pl.CostEstimate(
+        flops=int(n_rows * 128) * 40 * 700,
+        bytes_accessed=int(n_rows * 128) * 4 * (7 * slots + 4),
+        transcendentals=int(n_rows * 128) * 40 * 40,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [tile_spec] * (7 * slots),
+        out_specs=[tile_spec] * 4,
+        out_shape=[fshape] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(scal, *flat)
+    ir, ig, ib, tr = outs
+    return Vec3(ir, ig, ib), tr
+
+
+# --------------------------------------------------------------------------
+# Full-frame pipeline
+# --------------------------------------------------------------------------
+
+
+def render_frame_pallas_compact(
+    scene: SceneConfig,
+    settings: RenderSettings,
+    camera,
+    effects: CameraEffects,
+    time,
+    sky: Optional[Skybox],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """render_frame_pallas with the segment-replay media pass. Exactly equal
+    to the inline path (bitwise when no ray exceeds SLOTS segments; within
+    1 ulp/step reassociation otherwise — still far inside the RMSE budget).
+    Requires a skybox and at least one enabled medium; other configs fall
+    back to the fused inline kernel."""
+    from relativisticraytracer_tpu.ops.pallas_march import (
+        BLOCK_H,
+        BLOCK_W,
+        _from_lane_tiles,
+        _round_up,
+        _to_lane_tiles,
+        _uv_planes,
+        render_frame_pallas,
+    )
+
+    if sky is None or not (scene.enable_disk or scene.enable_clouds):
+        return render_frame_pallas(scene, settings, camera, effects, time,
+                                   sky, interpret=interpret)
+
+    ss = settings.supersample
+    w, h = settings.width * ss, settings.height * ss
+    sky_h, sky_w = sky.shape
+    hp, wp = _round_up(h, BLOCK_H), _round_up(w, BLOCK_W)
+    max_steps = settings.resolved_max_steps(scene)
+
+    hit, idx3, fx3, fy3, records = march_pallas_camera_sky_record(
+        scene, camera, effects, jnp.asarray(time, jnp.float32),
+        w, h, max_steps, sky_h, sky_w, slots=settings.media_slots,
+        interpret=interpret,
+    )
+    intensity, trans = media_replay(
+        scene, records, jnp.asarray(time, jnp.float32), max_steps,
+        slots=settings.media_slots, interpret=interpret,
+    )
+
+    # Captured rays: transmittance 0 (raymarcher.cu:49) — B cannot know
+    # about captures, so the mask applies here.
+    trans = jnp.where(hit > 0.5, jnp.float32(0.0), trans)
+
+    bg = gather_sky_coords(sky, tuple(zip(idx3, fx3, fy3)), effects)
+    hdr = Vec3(
+        intensity.x + bg.x * trans,
+        intensity.y + bg.y * trans,
+        intensity.z + bg.z * trans,
+    )
+    uv_x, uv_y = _uv_planes(w, h, effects)
+
+    def lanes(a):
+        return _to_lane_tiles(
+            jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge"),
+            BLOCK_H, BLOCK_W,
+        )
+
+    ldr = apply_effects_and_tonemap(
+        hdr, lanes(uv_x), lanes(uv_y), effects, scene.exposure
+    )
+    if ss != 1:
+        def unlane(a):
+            return _from_lane_tiles(a, hp, wp, BLOCK_H, BLOCK_W)[:h, :w]
+
+        ldr = Vec3(unlane(ldr.x), unlane(ldr.y), unlane(ldr.z))
+        return pack_rgba8(downsample_box(ldr, ss))
+
+    word = pack_rgba8_word(ldr)
+    word = _from_lane_tiles(word, hp, wp, BLOCK_H, BLOCK_W)[:h, :w]
+    return word_to_rgba8(word)

@@ -196,9 +196,52 @@ def _media_contribution(scene: SceneConfig, rel: Vec3, r2, v_new: Vec3,
     return Vec3(emit_r, emit_g, emit_b), opacity
 
 
+def compose_step(intensity: Vec3, trans, ex, ey, ez, opacity, in_media, h):
+    """Front-to-back emission/absorption compositing for one step
+    (raymarcher.cu:107-115). Shared by the inline march and the
+    segment-replay media pass (ops/pallas_compact.py) so the accumulation
+    op order is THE SAME function in both — bitwise-equal by construction."""
+    d_tau = opacity * h
+    step_trans = jnp.exp(-d_tau)
+    factor = (1.0 - step_trans) * trans
+    intensity = Vec3(
+        intensity.x + _select(in_media, ex * factor, 0.0),
+        intensity.y + _select(in_media, ey * factor, 0.0),
+        intensity.z + _select(in_media, ez * factor, 0.0),
+    )
+    trans = _select(in_media, trans * step_trans, trans)
+    return intensity, trans
+
+
+def adaptive_h(scene: SceneConfig, r2, in_disk_zone, in_cloud_zone, active):
+    """The reference's adaptive step size from PRE-step zone flags
+    (raymarcher.cu:54-62), with finished rays frozen via h = 0. Shared by
+    march_step and the segment-replay pass (exact same op order)."""
+    near_bh = r2 < 18.0 ** 2
+    h = scene.step_size_m * jnp.where(
+        near_bh, 0.1,
+        jnp.where(in_disk_zone, 0.3, jnp.where(in_cloud_zone, 0.5, 1.0)),
+    )
+    return jnp.where(active, h, 0.0)
+
+
+def media_zones(scene: SceneConfig, rel: Vec3, r2):
+    """PRE-step zone flags (raymarcher.cu:54-62). Shared with the
+    segment-replay pass."""
+    abs_y = jnp.abs(rel.y)
+    in_disk_zone = jnp.logical_and(
+        abs_y < scene.disk_h_m * 5.0, r2 < (scene.disk_out_m + 5.0) ** 2
+    )
+    in_cloud_zone = jnp.logical_and(
+        abs_y < scene.cloud_h_m * 1.5, r2 < scene.cloud_out_m ** 2
+    )
+    return in_disk_zone, in_cloud_zone
+
+
 def march_step(scene: SceneConfig, state: MarchState, time,
                media_cond: bool = False,
-               media_group_rows: int = 0) -> MarchState:
+               media_group_rows: int = 0,
+               media_hook=None) -> MarchState:
     """One reference march iteration (raymarcher.cu:41-121), fully masked.
 
     media_cond=True wraps the radiative-transfer block in a `lax.cond` on
@@ -242,44 +285,34 @@ def march_step(scene: SceneConfig, state: MarchState, time,
     trans = _select(hit_now, jnp.zeros_like(trans), trans)
     active = jnp.logical_and(active, jnp.logical_not(hit_now))
 
-    # 2. adaptive step size from PRE-step zone flags (raymarcher.cu:54-62)
-    near_bh = r2 < 18.0 ** 2
-    abs_y = jnp.abs(rel.y)
-    in_disk_zone = jnp.logical_and(
-        abs_y < scene.disk_h_m * 5.0, r2 < (scene.disk_out_m + 5.0) ** 2
-    )
-    in_cloud_zone = jnp.logical_and(
-        abs_y < scene.cloud_h_m * 1.5, r2 < scene.cloud_out_m ** 2
-    )
-    h = scene.step_size_m * jnp.where(
-        near_bh, 0.1, jnp.where(in_disk_zone, 0.3, jnp.where(in_cloud_zone, 0.5, 1.0))
-    )
-    # Freeze finished rays by stepping them with h = 0 (p + 0 == p bitwise):
+    # 2. adaptive step size from PRE-step zone flags (raymarcher.cu:54-62).
+    # Finished rays are frozen by stepping with h = 0 (p + 0 == p bitwise):
     # cheaper than 6 per-component selects after the step.
-    h = jnp.where(active, h, 0.0)
+    in_disk_zone, in_cloud_zone = media_zones(scene, rel, r2)
+    h = adaptive_h(scene, r2, in_disk_zone, in_cloud_zone, active)
 
     # 3. RK4 (raymarcher.cu:64)
+    p_pre, v_pre = p, v
     p, v = rk4_step(scene, p, v, h)
 
     # 4. radiative transfer (raymarcher.cu:67-117): PRE-step position,
     # POST-step velocity
-    if scene.enable_disk or scene.enable_clouds:
+    if media_hook is not None:
+        # Segment-recording pass (ops/pallas_compact.py): the hook replaces
+        # the shading block — it sees the PRE-step position/velocity (what a
+        # replay must restart from) plus everything the probes need, and
+        # returns (intensity, trans) unchanged.
+        intensity, trans = media_hook(
+            p_pre=p_pre, v_pre=v_pre, rel=rel, r2=r2, v_new=v,
+            in_disk_zone=in_disk_zone, in_cloud_zone=in_cloud_zone,
+            h=h, active=active, intensity=intensity, trans=trans,
+        )
+    elif scene.enable_disk or scene.enable_clouds:
         in_media = jnp.logical_and(
             active, jnp.logical_or(in_disk_zone, in_cloud_zone)
         )
 
-        def compose(intensity, trans, ex, ey, ez, opacity, in_media, h):
-            # front-to-back emission/absorption (raymarcher.cu:107-115)
-            d_tau = opacity * h
-            step_trans = jnp.exp(-d_tau)
-            factor = (1.0 - step_trans) * trans
-            intensity = Vec3(
-                intensity.x + _select(in_media, ex * factor, 0.0),
-                intensity.y + _select(in_media, ey * factor, 0.0),
-                intensity.z + _select(in_media, ez * factor, 0.0),
-            )
-            trans = _select(in_media, trans * step_trans, trans)
-            return intensity, trans
+        compose = compose_step  # shared with the replay pass (see above)
 
         if media_cond:
             probe_disk, probe_cloud = media_probes(

@@ -78,7 +78,14 @@ def render_frame(
 @functools.lru_cache(maxsize=32)
 def _compiled_render(scene: SceneConfig, settings: RenderSettings):
     if settings.resolved_loop() == "pallas":
-        from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+        if settings.media_pass == "compact":
+            from relativisticraytracer_tpu.ops.pallas_compact import (
+                render_frame_pallas_compact as render_frame_pallas,
+            )
+        else:
+            from relativisticraytracer_tpu.ops.pallas_march import (
+                render_frame_pallas,
+            )
 
         # Off-TPU an explicit loop="pallas" runs the kernel in interpreter
         # mode instead of failing at Mosaic lowering (same rule as the
