@@ -38,26 +38,34 @@ def parity_gate(loop: str) -> dict:
     from relativisticraytracer_tpu.render.pipeline import Renderer
     from relativisticraytracer_tpu.render.skybox import procedural_starfield
 
-    # Same cases as tools/make_goldens.py (vacuum + full scene bracket the
-    # kernel's code paths: pure march, media, post FX, skybox).
+    # Subset of tools/make_goldens.py cases: vacuum + full scene bracket the
+    # kernel's code paths; the 192x108 off-axis and 512^2 frames are the
+    # production-shape insurance (VERDICT r2 #5) — resolution-dependent
+    # Mosaic issues (tile padding, lane index math at large extents) would
+    # pass every 64x48-only gate.
+    pose = ((0.0, 5.0, -38.0), 0.0, -6.0)
     cases = [
         ("schwarzschild_vacuum",
-         dict(enable_disk=False, enable_clouds=False), False),
-        ("full_scene_fx", dict(), True),
+         dict(enable_disk=False, enable_clouds=False), False,
+         (64, 48), pose, 2.0),
+        ("full_scene_fx", dict(), True, (64, 48), pose, 2.0),
+        ("offaxis_full_192x108", dict(), True, (192, 108),
+         ((-18.0, -5.0, -38.0), 18.0, 4.0), 7.0),
+        ("full_scene_512", dict(), True, (512, 512), pose, 2.0),
     ]
     sky = procedural_starfield(64, 128)
-    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
     out = {"pass": True, "cases": {}}
-    for name, scene_kw, effects_on in cases:
+    for name, scene_kw, effects_on, (w, h), case_pose, t in cases:
         golden_path = GOLDEN_DIR / f"{name}.npy"
         if not golden_path.exists():
             continue
+        cam = camera_state_from_pose(*case_pose)
         scene = SceneConfig(max_steps=400, **scene_kw)
-        settings = RenderSettings(width=64, height=48, max_steps=400,
+        settings = RenderSettings(width=w, height=h, max_steps=400,
                                   loop=loop)
         r = Renderer(scene, settings, skybox_rgba=sky)
         effects = CameraEffects() if effects_on else effects_off()
-        got = r.render_np(cam, effects, time=2.0)
+        got = r.render_np(cam, effects, time=t)
         want = np.load(golden_path)
         diff = got[..., :3].astype(int) - want[..., :3].astype(int)
         rmse = float(np.sqrt(np.mean((diff / 255.0) ** 2)))

@@ -109,6 +109,7 @@ def cmd_anim(args):
     job = AnimationJob(
         path=path, renderer=r, effects=effects, fps=args.fps,
         duration=args.duration, out_path=args.out,
+        transfer=args.transfer,
     )
     devices = None
     if args.devices:
@@ -138,8 +139,22 @@ def cmd_interactive(args):
 
     import pathlib
 
+    # Honest-by-default interactivity: the reference's windowed loop IS
+    # real-time at its default (main.cpp:482-539); on one chip the full
+    # 1000x700/2000-step scene is not. Unless the user picked a size or
+    # preset explicitly, drop the SESSION to the measured-interactive
+    # preset (realtime, 480x272) with motion-adaptive stepping; stills and
+    # animation keep the reference default. README's fps-per-preset table
+    # has the measurements.
+    if args.preset is None and args.width is None and args.height is None:
+        args.width, args.height = PRESETS["realtime"]
+        if args.motion_steps == 0:
+            args.motion_steps = 600
+
     renderer = _build_renderer(args)
     motion_r = None
+    if args.motion_steps >= args.max_steps:
+        args.motion_steps = 0  # no win below the session's own cap
     if args.motion_steps:
         from relativisticraytracer_tpu.render.pipeline import Renderer
 
@@ -244,6 +259,13 @@ def main(argv=None):
                              "to raw .rgba + sidecar), or a directory / "
                              "trailing-slash path for a resumable PNG "
                              "frame sequence")
+    p_anim.add_argument("--transfer", default="rgba",
+                        choices=["rgba", "yuv420p"],
+                        help="device->host frame format: yuv420p converts "
+                             "on-device (1.5 B/px vs 4 - 2.67x less link "
+                             "bandwidth; FFmpeg takes it directly). "
+                             "rgba is the reference layout; PNG-sequence "
+                             "targets require rgba")
     p_anim.add_argument("--devices", default=None, type=_devices_arg,
                         help="'all' or a count N: render whole frames "
                              "round-robin across that many chips "
@@ -269,7 +291,9 @@ def main(argv=None):
                              "reduced step cap for a snappier preview "
                              "(full quality returns when you stop; "
                              "recording always renders full quality); "
-                             "0 disables")
+                             "0 disables. When no size/preset is given, "
+                             "interactive defaults to the realtime preset "
+                             "with motion-steps 600")
     p_live.set_defaults(fn=cmd_interactive)
 
     p_paths = sub.add_parser("paths", help="list built-in camera paths")

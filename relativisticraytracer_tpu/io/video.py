@@ -26,12 +26,18 @@ from relativisticraytracer_tpu.config import RECORDING_FPS
 from relativisticraytracer_tpu.runtime.framesink import FrameSink
 
 
-def ffmpeg_command(width: int, height: int, fps: int, out_path: str) -> str:
-    """The reference encoder line (main.cpp:61-72), minus the vflip."""
+def ffmpeg_command(width: int, height: int, fps: int, out_path: str,
+                   pix_fmt: str = "rgba") -> str:
+    """The reference encoder line (main.cpp:61-72), minus the vflip.
+
+    pix_fmt "yuv420p" feeds frames already converted on-device
+    (render/postfx.yuv420_from_rgba8): 1.5 B/px over the link instead of 4,
+    and FFmpeg skips its own swscale pass. Output encoding is identical
+    (libx264 converts rgba input to yuv420p anyway)."""
     return (
         "ffmpeg -y "
         "-f rawvideo "
-        "-pix_fmt rgba "
+        f"-pix_fmt {pix_fmt} "
         f"-s {width}x{height} "
         f"-r {fps} "
         "-i - "
@@ -41,6 +47,14 @@ def ffmpeg_command(width: int, height: int, fps: int, out_path: str) -> str:
         "-pix_fmt yuv420p "
         f'"{out_path}"'
     )
+
+
+_PIX_FMTS = {"rgba": (4, 1, "rgba"), "yuv420p": (3, 2, "yuv")}
+
+
+def _frame_bytes(width: int, height: int, pix_fmt: str) -> int:
+    num, den, _ = _PIX_FMTS[pix_fmt]
+    return width * height * num // den
 
 
 def timestamped_filename(prefix: str = "recording", ext: str = "mp4") -> str:
@@ -67,13 +81,17 @@ class SegmentedRecorder:
     """
 
     def __init__(self, width: int, height: int, fps: int = RECORDING_FPS,
-                 out_path: str = "animation.mp4", segment_frames: int = 24):
+                 out_path: str = "animation.mp4", segment_frames: int = 24,
+                 pix_fmt: str = "rgba"):
         if segment_frames <= 0:
             raise ValueError("segment_frames must be positive")
+        if pix_fmt not in _PIX_FMTS:
+            raise ValueError(f"unsupported pix_fmt {pix_fmt!r}")
         self.width = width
         self.height = height
         self.fps = fps
-        self.frame_bytes = width * height * 4
+        self.pix_fmt = pix_fmt
+        self.frame_bytes = _frame_bytes(width, height, pix_fmt)
         self.out_path = str(out_path)
         self.segment_frames = segment_frames
         self.seg_dir = pathlib.Path(self.out_path + ".segs")
@@ -92,8 +110,9 @@ class SegmentedRecorder:
         if not self._ckpt.exists():
             return 0
         state = json.loads(self._ckpt.read_text())
-        if (state.get("width"), state.get("height"), state.get("fps")) != (
-            self.width, self.height, self.fps
+        if (state.get("width"), state.get("height"), state.get("fps"),
+                state.get("pix_fmt", "rgba")) != (
+            self.width, self.height, self.fps, self.pix_fmt
         ):
             raise ValueError(
                 f"cannot resume {self.out_path}: checkpoint geometry "
@@ -119,6 +138,7 @@ class SegmentedRecorder:
     def _write_ckpt(self) -> None:
         self._ckpt.write_text(json.dumps({
             "width": self.width, "height": self.height, "fps": self.fps,
+            "pix_fmt": self.pix_fmt,
             "next_frame": self.next_frame,
             "segments": self._segments,
         }))
@@ -131,7 +151,8 @@ class SegmentedRecorder:
                 self.seg_dir / f"seg_{self.next_frame:08d}.mp4"
             )
             self._current = VideoRecorder(
-                self.width, self.height, self.fps, out_path=seg_path
+                self.width, self.height, self.fps, out_path=seg_path,
+                pix_fmt=self.pix_fmt,
             )
             self._current.start()
             self._current_start = self.next_frame
@@ -206,11 +227,15 @@ class VideoRecorder:
     (main.cpp:52-124), backed by the async native frame sink."""
 
     def __init__(self, width: int, height: int, fps: int = RECORDING_FPS,
-                 out_path: Optional[str] = None, queue_frames: int = 8):
+                 out_path: Optional[str] = None, queue_frames: int = 8,
+                 pix_fmt: str = "rgba"):
+        if pix_fmt not in _PIX_FMTS:
+            raise ValueError(f"unsupported pix_fmt {pix_fmt!r}")
         self.width = width
         self.height = height
         self.fps = fps
-        self.frame_bytes = width * height * 4
+        self.pix_fmt = pix_fmt
+        self.frame_bytes = _frame_bytes(width, height, pix_fmt)
         self._sink: Optional[FrameSink] = None
         self._user_out_path = out_path
         self.out_path = out_path
@@ -229,10 +254,11 @@ class VideoRecorder:
         # Auto-named recordings get a FRESH timestamped file per start, like
         # the reference (main.cpp:36-57); an explicit out_path is reused.
         if self.raw_fallback:
-            self.out_path = self._user_out_path or timestamped_filename(ext="rgba")
-            if not self.out_path.endswith(".rgba"):
+            ext = _PIX_FMTS[self.pix_fmt][2]
+            self.out_path = self._user_out_path or timestamped_filename(ext=ext)
+            if not self.out_path.endswith("." + ext):
                 self.out_path = str(
-                    pathlib.Path(self.out_path).with_suffix(".rgba")
+                    pathlib.Path(self.out_path).with_suffix("." + ext)
                 )
             append = append_frames > 0 and pathlib.Path(self.out_path).exists()
             if append:
@@ -249,26 +275,30 @@ class VideoRecorder:
                         "delete the file or start a fresh recording"
                     )
                 prev = json.loads(side.read_text())
-                if (prev.get("width"), prev.get("height")) != (
-                    self.width, self.height
+                if (prev.get("width"), prev.get("height"),
+                        prev.get("pix_fmt", "rgba")) != (
+                    self.width, self.height, self.pix_fmt
                 ):
                     raise ValueError(
                         f"cannot resume {self.out_path}: it holds "
-                        f"{prev.get('width')}x{prev.get('height')} frames, "
-                        f"recorder is {self.width}x{self.height}"
+                        f"{prev.get('width')}x{prev.get('height')} "
+                        f"{prev.get('pix_fmt', 'rgba')} frames, recorder is "
+                        f"{self.width}x{self.height} {self.pix_fmt}"
                     )
                 # Drop any partial frame a crash may have left behind.
                 import os
 
                 os.truncate(self.out_path, append_frames * self.frame_bytes)
             sidecar = {
-                "format": "rawvideo rgba, top-down rows",
+                "format": f"rawvideo {self.pix_fmt}, top-down rows",
                 "width": self.width,
                 "height": self.height,
                 "fps": self.fps,
+                "pix_fmt": self.pix_fmt,
                 "encode_with": ffmpeg_command(
                     self.width, self.height, self.fps,
                     str(pathlib.Path(self.out_path).with_suffix(".mp4")),
+                    pix_fmt=self.pix_fmt,
                 ).replace("-i -", f'-i "{self.out_path}"'),
             }
             pathlib.Path(self.out_path).with_suffix(".json").write_text(
@@ -279,16 +309,26 @@ class VideoRecorder:
             )
         else:
             self.out_path = self._user_out_path or timestamped_filename()
-            cmd = ffmpeg_command(self.width, self.height, self.fps, self.out_path)
+            cmd = ffmpeg_command(self.width, self.height, self.fps,
+                                 self.out_path, pix_fmt=self.pix_fmt)
             self._sink = FrameSink(cmd, self.frame_bytes, mode="pipe")
         return self.out_path
 
     def capture(self, frame: np.ndarray) -> None:
-        """frame: uint8 [height, width, 4], top-down rows."""
+        """frame: uint8 [height, width, 4] RGBA top-down rows — or, with
+        pix_fmt="yuv420p", the flat planar uint8 buffer from
+        render/postfx.yuv420_from_rgba8 (any shape, frame_bytes total)."""
         if self._sink is None:
             raise RuntimeError("recorder not started")
-        if frame.shape != (self.height, self.width, 4) or frame.dtype != np.uint8:
-            raise ValueError(f"bad frame {frame.shape} {frame.dtype}")
+        if self.pix_fmt == "rgba":
+            ok = (frame.shape == (self.height, self.width, 4)
+                  and frame.dtype == np.uint8)
+        else:
+            ok = frame.dtype == np.uint8 and frame.size == self.frame_bytes
+        if not ok:
+            raise ValueError(
+                f"bad {self.pix_fmt} frame {frame.shape} {frame.dtype}"
+            )
         self._sink.submit(np.ascontiguousarray(frame).tobytes())
 
     def stop(self) -> int:

@@ -137,3 +137,35 @@ def downsample_box(ldr: Vec3, s: int) -> Vec3:
         return c.reshape(hs // s, s, ws // s, s).mean(axis=(1, 3))
 
     return Vec3(d(ldr.x), d(ldr.y), d(ldr.z))
+
+
+def yuv420_from_rgba8(frame: jnp.ndarray) -> jnp.ndarray:
+    """uint8[H, W, 4] RGBA -> flat uint8[H*W*3//2] planar YUV420 (BT.601
+    limited range): the byte stream FFmpeg expects for
+    `-f rawvideo -pix_fmt yuv420p` (Y plane, then 2x2-subsampled U, V).
+
+    Rationale: the animation transfer format. An RGBA frame is 4 B/px over
+    the device->host link; this is 1.5 B/px computed ON DEVICE (a ~0.1 ms
+    elementwise pass + 2x2 box reduce), a 2.67x cut that keeps slow links
+    (and PCIe at scale) out of the frame loop. Information-wise it matches
+    the reference pipeline, which also hands FFmpeg 8-bit frames that the
+    encoder converts to yuv420p before H.264 (main.cpp:60-72: rawvideo
+    rgba in, -pix_fmt yuv420p out); doing the conversion on-device just
+    moves swscale's work to the TPU. H and W must be even."""
+    h, w, _ = frame.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"yuv420 needs even dims, got {w}x{h}")
+    rgb = frame[..., :3].astype(jnp.float32) * (1.0 / 255.0)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    y8 = jnp.clip(16.0 + 219.0 * yp + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    u = 128.0 + 112.0 * (b - yp) / 0.886
+    v = 128.0 + 112.0 * (r - yp) / 0.701
+
+    def sub(c):  # 2x2 box average, then quantize
+        c = c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        return jnp.clip(c + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+    return jnp.concatenate(
+        [y8.reshape(-1), sub(u).reshape(-1), sub(v).reshape(-1)]
+    )

@@ -41,6 +41,21 @@ from relativisticraytracer_tpu.render.pipeline import Renderer
 
 log = logging.getLogger("relativisticraytracer_tpu")
 
+_yuv_jit = None
+
+
+def _yuv_convert(frame):
+    """On-device RGBA->planar YUV420 (jitted once; follows the frame's
+    device, so frame-parallel multi-chip animation converts per chip)."""
+    global _yuv_jit
+    if _yuv_jit is None:
+        import jax
+
+        from relativisticraytracer_tpu.render.postfx import yuv420_from_rgba8
+
+        _yuv_jit = jax.jit(yuv420_from_rgba8)
+    return _yuv_jit(frame)
+
 
 class Session:
     """Headless interactive session: fly camera + paths + effects + recorder
@@ -266,6 +281,13 @@ class AnimationJob:
     duration: Optional[float] = None  # default: last keyframe time
     out_path: Optional[str] = None
     checkpoint_every: int = 24
+    # Device->host transfer format: "rgba" (uint8[H,W,4], reference layout)
+    # or "yuv420p" — frames are converted ON DEVICE
+    # (render/postfx.yuv420_from_rgba8) to 1.5 B/px planar YUV before the
+    # fetch, a 2.67x link-bandwidth cut for bandwidth-bound links; the
+    # video sinks feed it straight to FFmpeg (-pix_fmt yuv420p rawvideo),
+    # which skips its swscale pass. Not valid for PNG-sequence targets.
+    transfer: str = "rgba"
 
     def _checkpoint_path(self, out_path: str) -> pathlib.Path:
         return pathlib.Path(out_path + ".ckpt.json")
@@ -295,6 +317,11 @@ class AnimationJob:
             # finished file is its own checkpoint).
             from relativisticraytracer_tpu.io.image import FrameSequenceWriter
 
+            if self.transfer != "rgba":
+                raise ValueError(
+                    "PNG frame-sequence targets need transfer='rgba' "
+                    f"(got {self.transfer!r})"
+                )
             seq = FrameSequenceWriter(self.out_path, settings.width,
                                       settings.height)
             start_frame = seq.resume()
@@ -324,6 +351,7 @@ class AnimationJob:
                 settings.width, settings.height, self.fps,
                 out_path=self.out_path,
                 segment_frames=self.checkpoint_every,
+                pix_fmt=self.transfer,
             )
             start_frame = seg.resume() if resume else 0
             if not resume:
@@ -337,12 +365,15 @@ class AnimationJob:
                     self.out_path, start_frame)
 
         rec = VideoRecorder(settings.width, settings.height, self.fps,
-                            out_path=self.out_path)
+                            out_path=self.out_path, pix_fmt=self.transfer)
         # Resolve the resume point BEFORE opening the sink so raw-file mode
         # appends at the right frame instead of truncating finished work.
         start_frame = 0
         if resume and rec.raw_fallback and self.out_path is not None:
-            raw_path = pathlib.Path(self.out_path).with_suffix(".rgba")
+            from relativisticraytracer_tpu.io.video import _PIX_FMTS
+
+            raw_path = pathlib.Path(self.out_path).with_suffix(
+                "." + _PIX_FMTS[self.transfer][2])
             ckpt_probe = self._checkpoint_path(str(raw_path))
             if ckpt_probe.exists():
                 start_frame = json.loads(ckpt_probe.read_text()).get("next_frame", 0)
@@ -422,6 +453,8 @@ class AnimationJob:
                     devices[(k - start_frame) % len(devices)],
                     cam, self.effects, t,
                 )
+                if self.transfer == "yuv420p":
+                    dev_frame = _yuv_convert(dev_frame)
                 dev_frame.copy_to_host_async()
                 pending.append((k, dev_frame))
                 # Drain down to depth-1 so at most `depth` frames (the

@@ -7,6 +7,7 @@ import os
 import pathlib
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from relativisticraytracer_tpu.config import RenderSettings, SceneConfig
@@ -595,3 +596,71 @@ def test_png_resume_drops_stale_tail(tmp_path):
     files = sorted(f.name for f in out_dir.glob("frame_*.png"))
     assert files == [f"frame_{k:05d}.png" for k in range(4)]
     assert stats["frames_written"] == 4
+
+
+def test_yuv420_converter_matches_oracle():
+    """On-device RGBA->YUV420 (BT.601 limited, 2x2 box chroma) against an
+    independent NumPy transcription."""
+    from relativisticraytracer_tpu.render.postfx import yuv420_from_rgba8
+
+    rng = np.random.RandomState(7)
+    h, w = 12, 16
+    frame = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+    got = np.asarray(yuv420_from_rgba8(jnp.asarray(frame)))
+    assert got.shape == (h * w * 3 // 2,) and got.dtype == np.uint8
+
+    rgb = frame[..., :3].astype(np.float64) / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    y8 = np.clip(16.0 + 219.0 * yp + 0.5, 0, 255).astype(np.uint8)
+    u = 128.0 + 112.0 * (b - yp) / 0.886
+    v = 128.0 + 112.0 * (r - yp) / 0.701
+
+    def sub(c):
+        c = c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        return np.clip(c + 0.5, 0, 255).astype(np.uint8)
+
+    want = np.concatenate([y8.reshape(-1), sub(u).reshape(-1),
+                           sub(v).reshape(-1)])
+    # f32-vs-f64 rounding can flip a value sitting exactly on a .5 boundary
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    # odd dims refuse
+    with pytest.raises(ValueError, match="even"):
+        yuv420_from_rgba8(jnp.zeros((11, 16, 4), jnp.uint8))
+
+
+def test_animation_yuv_transfer_raw_sink(tmp_path, monkeypatch):
+    """transfer='yuv420p': frames are converted ON DEVICE and the raw sink
+    stores 1.5 B/px planar frames with a correct FFmpeg sidecar; resume
+    appends at the right offset."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    r = _tiny_renderer()
+    out = str(tmp_path / "anim.mp4")
+    job = AnimationJob(path=default_paths()[0], renderer=r, fps=2,
+                       duration=3.0, out_path=out, checkpoint_every=2,
+                       transfer="yuv420p")
+    stats = job.run()
+    raw = pathlib.Path(stats["out_path"])
+    assert raw.suffix == ".yuv"
+    fb = 16 * 12 * 3 // 2
+    assert raw.stat().st_size == 6 * fb
+    side = json.loads(raw.with_suffix(".json").read_text())
+    assert side["pix_fmt"] == "yuv420p"
+    assert "-pix_fmt yuv420p" in side["encode_with"].split("-c:v")[0]
+
+    # interrupted: checkpoint at 4, partial 5th frame on disk
+    ck = pathlib.Path(stats["out_path"] + ".ckpt.json")
+    ck.write_text(json.dumps({"next_frame": 4, "out_path": stats["out_path"]}))
+    raw.write_bytes(raw.read_bytes()[: 4 * fb + 7])
+    stats2 = job.run(resume=True)
+    assert stats2["resumed_at"] == 4
+    assert raw.stat().st_size == 6 * fb
+
+    # PNG-sequence target cannot take planar yuv
+    job_png = AnimationJob(path=default_paths()[0], renderer=r, fps=2,
+                           duration=1.0, out_path=str(tmp_path / "seq") + "/",
+                           transfer="yuv420p")
+    with pytest.raises(ValueError, match="rgba"):
+        job_png.run()

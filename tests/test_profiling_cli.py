@@ -152,3 +152,29 @@ def test_cli_devices_arg_validation(tmp_path):
     too_many = str(len(jax.devices()) + 1)
     with pytest.raises(SystemExit):
         cli_main(base + ["--devices", too_many])
+
+
+def test_cli_interactive_defaults_to_realtime_preset(monkeypatch, capsys):
+    """With no size/preset given, `interactive` drops to the measured-
+    interactive realtime preset (480x272) with motion-adaptive stepping;
+    explicit sizes are honored unchanged (VERDICT r2 #9)."""
+    import relativisticraytracer_tpu.runtime.preview as preview
+
+    seen = {}
+
+    def fake_preview(session, frames=0, width=100, fps_cap=15.0, out=None):
+        seen["settings"] = session.renderer.settings
+        seen["motion"] = session.motion_renderer
+
+    monkeypatch.setattr(preview, "run_terminal_preview", fake_preview)
+    cli_main(["interactive", "--terminal"])  # reference step budget (2000)
+    s = seen["settings"]
+    assert (s.width, s.height) == (480, 272)
+    assert seen["motion"] is not None
+    assert seen["motion"].settings.max_steps == 600
+    # explicit size: untouched, no implied motion renderer
+    cli_main(["interactive", "--terminal", "--width", "32", "--height", "16",
+              "--max-steps", "8"])
+    s = seen["settings"]
+    assert (s.width, s.height) == (32, 16)
+    assert seen["motion"] is None

@@ -28,36 +28,53 @@ from relativisticraytracer_tpu.render.skybox import procedural_starfield  # noqa
 
 GOLDEN_DIR = pathlib.Path(__file__).resolve().parents[1] / "tests" / "goldens"
 
+# (name, scene_kw, effects_on, (w, h), pose, time). The two big cases are
+# the chip-gate insurance VERDICT r2 #5 asked for: nothing at >=192x108 or
+# >=512^2 had ever been pixel-checked ON the TPU — resolution-dependent
+# Mosaic issues (tile padding, lane index math at production extents) would
+# pass every 64x48 gate. The off-axis pose matches the compiled-reference
+# frame gate (tests/test_reference_native_parity.py, larger_offaxis case).
+DEFAULT_POSE = ((0.0, 5.0, -38.0), 0.0, -6.0)
 CASES = [
-    ("schwarzschild_vacuum", dict(enable_disk=False, enable_clouds=False), False),
-    ("kerr09_vacuum", dict(enable_disk=False, enable_clouds=False, spin_a=0.9), False),
-    ("disk_only", dict(enable_clouds=False), False),
-    ("full_scene_fx", dict(), True),
+    ("schwarzschild_vacuum", dict(enable_disk=False, enable_clouds=False),
+     False, (64, 48), DEFAULT_POSE, 2.0),
+    ("kerr09_vacuum", dict(enable_disk=False, enable_clouds=False, spin_a=0.9),
+     False, (64, 48), DEFAULT_POSE, 2.0),
+    ("disk_only", dict(enable_clouds=False), False, (64, 48),
+     DEFAULT_POSE, 2.0),
+    ("full_scene_fx", dict(), True, (64, 48), DEFAULT_POSE, 2.0),
+    ("offaxis_full_192x108", dict(), True, (192, 108),
+     ((-18.0, -5.0, -38.0), 18.0, 4.0), 7.0),
+    ("full_scene_512", dict(), True, (512, 512), DEFAULT_POSE, 2.0),
 ]
 
 
-def main():
+def main(only=None):
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     sky = procedural_starfield(64, 128)
-    w, h, steps = 64, 48, 400
-    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
-    for name, scene_kw, effects_on in CASES:
+    steps = 400
+    for name, scene_kw, effects_on, (w, h), pose, t in CASES:
+        if only and name not in only:
+            continue
+        cam = camera_state_from_pose(*pose)
         scene = SceneConfig(max_steps=steps, **scene_kw)
         settings = RenderSettings(width=w, height=h, max_steps=steps, loop="while")
         r = Renderer(scene, settings, skybox_rgba=sky)
         effects = CameraEffects() if effects_on else effects_off()
-        img = r.render_np(cam, effects, time=2.0)
+        img = r.render_np(cam, effects, time=t)
         np.save(GOLDEN_DIR / f"{name}.npy", img)
         try:
             from PIL import Image
 
-            Image.fromarray(img).resize((w * 4, h * 4), Image.NEAREST).save(
+            scale = max(1, 256 // max(w, h) + 1) if max(w, h) < 256 else 1
+            Image.fromarray(img).resize((w * scale, h * scale),
+                                        Image.NEAREST).save(
                 GOLDEN_DIR / f"{name}.png"
             )
         except Exception:
             pass
-        print(f"golden {name}: mean rgb {img[..., :3].mean():.2f}")
+        print(f"golden {name} ({w}x{h}): mean rgb {img[..., :3].mean():.2f}")
 
 
 if __name__ == "__main__":
-    main()
+    main(only=set(sys.argv[1:]) or None)
