@@ -80,6 +80,17 @@ class SceneConfig:
     enable_disk: bool = True
     enable_clouds: bool = True
 
+    # --- quality knob: cap every fbm/ridge octave count in the media noise
+    # stack (None = the reference's exact counts). The sanctioned
+    # precision-for-speed axis inside the RMSE < 1e-3 parity budget
+    # (BASELINE.json) — measured ms/RMSE per cap in
+    # docs/precision_trades.json; None is bitwise reference semantics. ---
+    noise_octave_cap: Optional[int] = None
+
+    def octaves(self, n: int) -> int:
+        """Effective octave count for a reference count of `n`."""
+        return n if self.noise_octave_cap is None else min(n, self.noise_octave_cap)
+
     @property
     def m_unit(self) -> float:
         """Mass in meters, M = G*Mass/c^2 (reference: config.h:26)."""

@@ -130,7 +130,7 @@ def accretion_streaks(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarr
     rot = Vec3(r * jnp.cos(angle_rotated), p.y * 4.0, r * jnp.sin(angle_rotated))
     evolution = time * 0.35
     noise_coords = Vec3(rot.x * 0.45, rot.y * 0.45 + evolution, rot.z * 0.45)
-    n = fbm(noise_coords, 5)
+    n = fbm(noise_coords, scene.octaves(5))
 
     cloud = jnp.maximum(0.0, n - 0.32)
     cloud = (cloud * 2.8) ** 1.6
@@ -180,17 +180,18 @@ def dust_strands(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarray:
     # 3. fluid domain warping (densities.h:93-108)
     coords = Vec3(r * 0.8, p.y * 15.0, angle_rot * 10.0)
     c15 = Vec3(coords.x * 0.15, coords.y * 0.15, coords.z * 0.15)
+    w_oct = scene.octaves(2)
     w1 = Vec3(
-        fbm(c15, 2),
-        fbm(Vec3(c15.x + 1.0, c15.y + 2.0, c15.z + 3.0), 2),
-        fbm(Vec3(c15.x + 4.0, c15.y + 5.0, c15.z + 6.0), 2),
+        fbm(c15, w_oct),
+        fbm(Vec3(c15.x + 1.0, c15.y + 2.0, c15.z + 3.0), w_oct),
+        fbm(Vec3(c15.x + 4.0, c15.y + 5.0, c15.z + 6.0), w_oct),
     )
     w2c = Vec3(coords.x + w1.x * 3.0, coords.y + w1.y * 3.0, coords.z + w1.z * 3.0)
     w2c4 = Vec3(w2c.x * 0.4, w2c.y * 0.4, w2c.z * 0.4)
     w2 = Vec3(
-        fbm(w2c4, 2),
-        fbm(Vec3(w2c4.x + 2.0, w2c4.y + 1.0, w2c4.z + 0.0), 2),
-        fbm(Vec3(w2c4.x + 0.0, w2c4.y + 3.0, w2c4.z + 1.0), 2),
+        fbm(w2c4, w_oct),
+        fbm(Vec3(w2c4.x + 2.0, w2c4.y + 1.0, w2c4.z + 0.0), w_oct),
+        fbm(Vec3(w2c4.x + 0.0, w2c4.y + 3.0, w2c4.z + 1.0), w_oct),
     )
     fc = Vec3(coords.x + w2.x * 1.5, coords.y + w2.y * 1.5, coords.z + w2.z * 1.5)
 
@@ -199,7 +200,7 @@ def dust_strands(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarray:
     n = jnp.zeros_like(r)
     amp = 1.0
     freq = 1.0
-    for _ in range(5):
+    for _ in range(scene.octaves(5)):
         noise_val = noise3D(Vec3(fc.x * freq, fc.y * freq, fc.z * freq))
         wisp = 1.0 - jnp.abs(noise_val * 2.0 - 1.0)
         n = n + wisp * amp
@@ -210,7 +211,7 @@ def dust_strands(scene: SceneConfig, p: Vec3, r, safe_r, time) -> jnp.ndarray:
     strands = smoothstep(0.4, 0.8, n * 0.55)
     s2 = strands * strands
     strands = s2 * s2  # x^4
-    detail = fbm(Vec3(fc.x * 4.0, fc.y * 4.0 + time * 0.5, fc.z * 4.0), 2)
+    detail = fbm(Vec3(fc.x * 4.0, fc.y * 4.0 + time * 0.5, fc.z * 4.0), scene.octaves(2))
     strands = strands * (0.6 + 0.4 * detail)
     return strands * 12.0
 

@@ -138,3 +138,25 @@ def test_probe_bounds_are_conservative(rng):
     # sampled box is proven skippable
     assert probe_disk.mean() < 0.6
     assert probe_cloud.mean() < 0.35
+
+
+def test_noise_octave_cap_knob(rng):
+    """noise_octave_cap: None/large caps are bitwise reference-exact; a low
+    cap actually changes the fields (the stylized-preview knob is live).
+    Measured ms/RMSE per cap: docs/precision_trades.json."""
+    pts = _disk_points(rng)
+    p = _as_vec3(pts)
+    exact_d = np.asarray(accretion_density(SCENE, p, jnp.float32(1.7)))
+    exact_c = np.asarray(dust_cloud_density(SCENE, p, jnp.float32(1.7)))
+    capped_hi = SceneConfig(noise_octave_cap=5)
+    np.testing.assert_array_equal(
+        np.asarray(accretion_density(capped_hi, p, jnp.float32(1.7))), exact_d
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dust_cloud_density(capped_hi, p, jnp.float32(1.7))), exact_c
+    )
+    capped_lo = SceneConfig(noise_octave_cap=2)
+    lo_d = np.asarray(accretion_density(capped_lo, p, jnp.float32(1.7)))
+    lo_c = np.asarray(dust_cloud_density(capped_lo, p, jnp.float32(1.7)))
+    assert np.any(lo_d != exact_d)
+    assert np.any(lo_c != exact_c)
