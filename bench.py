@@ -48,6 +48,10 @@ def parity_gate(loop: str) -> dict:
         ("schwarzschild_vacuum",
          dict(enable_disk=False, enable_clouds=False), False,
          (64, 48), pose, 2.0),
+        ("kerr09_vacuum",
+         dict(enable_disk=False, enable_clouds=False, spin_a=0.9), False,
+         (64, 48), pose, 2.0),
+        ("disk_only", dict(enable_clouds=False), False, (64, 48), pose, 2.0),
         ("full_scene_fx", dict(), True, (64, 48), pose, 2.0),
         ("offaxis_full_192x108", dict(), True, (192, 108),
          ((-18.0, -5.0, -38.0), 18.0, 4.0), 7.0),

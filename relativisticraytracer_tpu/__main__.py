@@ -148,8 +148,10 @@ def cmd_interactive(args):
     # has the measurements.
     if args.preset is None and args.width is None and args.height is None:
         args.width, args.height = PRESETS["realtime"]
-        if args.motion_steps == 0:
+        if args.motion_steps is None:
             args.motion_steps = 600
+    if args.motion_steps is None:
+        args.motion_steps = 0  # explicit 0 stays 0 (disabled)
 
     renderer = _build_renderer(args)
     motion_r = None
@@ -286,7 +288,7 @@ def main(argv=None):
     p_live.add_argument("--state", default=None,
                         help="JSON file to restore/persist the session "
                              "(pose, clock, effects, path) across runs")
-    p_live.add_argument("--motion-steps", type=int, default=0,
+    p_live.add_argument("--motion-steps", type=int, default=None,
                         help="while actively flying, march with this "
                              "reduced step cap for a snappier preview "
                              "(full quality returns when you stop; "

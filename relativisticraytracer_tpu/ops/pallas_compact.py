@@ -532,6 +532,11 @@ def media_replay(
     smaller tiles pay less max-over-lanes divergence."""
     n_rows = records[0][0].shape[0]
     tile_rows = b_rows
+    if n_rows % tile_rows:
+        raise ValueError(
+            f"b_rows={tile_rows} must divide the {n_rows} lane rows "
+            f"(use a divisor of the 32-row record blocks)"
+        )
     num_blocks = n_rows // tile_rows
     tile_spec = pl.BlockSpec(
         (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM

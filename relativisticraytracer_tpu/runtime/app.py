@@ -165,14 +165,14 @@ class Session:
             used_motion = True
         frame = r.render_np(cam, self.effects, self.sim_time)
         with self._rec_lock:
-            if self.recorder.is_recording:
-                if used_motion:
-                    # recording toggled on mid-tick after a motion-quality
-                    # render — re-render at full quality so the recorded
-                    # stream never contains a reduced-step frame
-                    frame = self.renderer.render_np(
-                        cam, self.effects, self.sim_time
-                    )
+            # Capture only if recording was ALREADY on at the clock
+            # snapshot: a mid-tick R-toggle starts recording on the NEXT
+            # tick, whose dt is pinned to 1/RECORDING_FPS — so the
+            # recorded stream never contains a reduced-step motion frame
+            # NOR a frame whose sim step was wall-clock sized
+            # (main.cpp:511-513 semantics).
+            if recording and self.recorder.is_recording:
+                assert not used_motion
                 self.recorder.capture(frame)
         self.frame_count += 1
         self._fps_frames += 1
@@ -324,12 +324,15 @@ class AnimationJob:
                 )
             seq = FrameSequenceWriter(self.out_path, settings.width,
                                       settings.height)
-            start_frame = seq.resume()
-            if not resume and start_frame:
+            if not resume:
+                # Fresh run: clear leftover frames BEFORE resume() — its
+                # geometry guard must only veto actual resumes, not a
+                # re-render of the same directory at a new resolution.
+                seq.dir.mkdir(parents=True, exist_ok=True)
                 for f in seq.dir.glob("frame_*.png"):
                     f.unlink()
-                start_frame = seq.resume()
-            elif resume:
+            start_frame = seq.resume()
+            if resume:
                 # A prior run with a longer duration / higher fps may have
                 # left frames beyond this run's count; drop them so the
                 # directory holds exactly the advertised sequence.

@@ -193,3 +193,21 @@ def test_compact_falls_back_without_media_or_sky():
         interpret=INTERPRET,
     )
     assert np.asarray(frame2).shape == (64, 96, 4)
+
+
+def test_media_replay_rejects_non_dividing_b_rows():
+    """b_rows must divide the lane-row count — silent truncation would
+    leave tail rows of intensity/transmittance uninitialized (review
+    round 3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from relativisticraytracer_tpu.config import SceneConfig
+    from relativisticraytracer_tpu.ops.pallas_compact import media_replay
+
+    n_rows = 64  # two 32-row record blocks
+    z = jnp.zeros((n_rows, 128), jnp.float32)
+    records = tuple((z, z, z, z, z, z, z) for _ in range(1))
+    with pytest.raises(ValueError, match="divide"):
+        media_replay(SceneConfig(max_steps=8), records, 0.0, 8, slots=1,
+                     b_rows=48, interpret=True)

@@ -94,9 +94,10 @@ def test_video_recorder_raw_fallback(tmp_path, monkeypatch):
     assert "libx264" in sidecar["encode_with"]
 
 
-def _tiny_renderer():
+def _tiny_renderer(width=16, height=12):
     scene = SceneConfig(max_steps=24)
-    settings = RenderSettings(width=16, height=12, max_steps=24, chunk=8)
+    settings = RenderSettings(width=width, height=height, max_steps=24,
+                              chunk=8)
     return Renderer(scene, settings, skybox_rgba=procedural_starfield(16, 32))
 
 
@@ -532,10 +533,12 @@ def test_sink_surfaces_nonzero_pipe_exit(tmp_path):
         sink.close()
 
 
-def test_motion_race_rerenders_full_quality(monkeypatch):
-    """If recording toggles ON (HTTP thread) after tick() chose the motion
-    renderer but before capture, the captured frame must be re-rendered at
-    full quality — never a reduced-step motion frame (advisor round 2)."""
+def test_motion_race_defers_capture_to_next_tick(monkeypatch):
+    """If recording toggles ON (HTTP thread) after tick() snapshotted the
+    recording flag, THAT tick must not capture at all: its frame may be
+    motion-quality and its sim step was wall-clock sized. Recording starts
+    on the next tick — full quality AND the pinned 1/RECORDING_FPS step
+    (advisor round 2; clock half round 3)."""
     monkeypatch.setattr(
         "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
     )
@@ -561,11 +564,20 @@ def test_motion_race_rerenders_full_quality(monkeypatch):
     s.recorder.capture = lambda f: (captured.append(list(used)),
                                     real_capture(f))[1]
     s.handle_key("w")                  # recent input -> motion renderer
+    t0 = s.sim_time
+    s.tick(0.01)
+    # racing tick: motion frame rendered, NOT captured, wall-clock step
+    assert used == ["motion"]
+    assert captured == []
+    assert abs(s.sim_time - (t0 + 0.01)) < 1e-9
+    t1 = s.sim_time
     s.tick(0.01)
     s.close()
-    # motion rendered first, then the capture-side re-render at full quality
+    # next tick: recording is on -> full quality, pinned recording step
     assert used == ["motion", "quality"]
-    assert captured and captured[0] == ["motion", "quality"]
+    assert len(captured) == 1
+    from relativisticraytracer_tpu.runtime.app import RECORDING_FPS
+    assert abs(s.sim_time - (t1 + 1.0 / RECORDING_FPS)) < 1e-9
 
 
 def test_png_resume_geometry_mismatch(tmp_path):
@@ -664,3 +676,23 @@ def test_animation_yuv_transfer_raw_sink(tmp_path, monkeypatch):
                            transfer="yuv420p")
     with pytest.raises(ValueError, match="rgba"):
         job_png.run()
+
+
+def test_png_fresh_run_overwrites_different_resolution(tmp_path):
+    """run(resume=False) into a directory of frames from a DIFFERENT
+    resolution must clear and re-render, not trip the resume-geometry
+    guard (review round 3: the guard ran before the fresh-run cleanup)."""
+    out_dir = tmp_path / "frames"
+    job = AnimationJob(path=default_paths()[0], renderer=_tiny_renderer(),
+                       fps=2, duration=1.0, out_path=str(out_dir) + "/")
+    job.run()
+    assert len(list(out_dir.glob("frame_*.png"))) == 2
+    r2 = _tiny_renderer(width=8, height=6)
+    job2 = AnimationJob(path=default_paths()[0], renderer=r2, fps=2,
+                        duration=1.0, out_path=str(out_dir) + "/")
+    stats = job2.run(resume=False)
+    assert stats["frames_written"] == 2
+    from PIL import Image
+
+    with Image.open(out_dir / "frame_00000.png") as im:
+        assert im.size == (8, 6)

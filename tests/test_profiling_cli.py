@@ -178,3 +178,25 @@ def test_cli_interactive_defaults_to_realtime_preset(monkeypatch, capsys):
     s = seen["settings"]
     assert (s.width, s.height) == (32, 16)
     assert seen["motion"] is None
+
+
+def test_cli_interactive_explicit_motion_steps_zero(monkeypatch):
+    """Explicit '--motion-steps 0' disables motion-adaptive stepping even
+    when the realtime-preset default (which sets 600) kicks in — only an
+    OMITTED flag gets the preset's value (review round 3)."""
+    import relativisticraytracer_tpu.runtime.preview as preview
+
+    seen = {}
+
+    def capped(session, frames=0, width=100, fps_cap=15.0, out=None):
+        seen["session"] = session
+        return None
+
+    monkeypatch.setattr(preview, "run_terminal_preview", capped)
+    cli_main(["interactive", "--terminal", "--motion-steps", "0",
+              "--max-steps", "8", "--no-clouds", "--no-disk"])
+    s = seen["session"]
+    # realtime preset resolution applied...
+    assert s.renderer.settings.width == 480
+    # ...but motion stepping stays disabled as explicitly requested
+    assert s.motion_renderer is None

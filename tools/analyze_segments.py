@@ -49,6 +49,7 @@ from relativisticraytracer_tpu.render.march import (  # noqa: E402
     init_state,
     march_step,
     media_probes,
+    media_zones,
 )
 
 OUT = pathlib.Path(__file__).resolve().parents[1] / "docs"
@@ -84,14 +85,7 @@ def run(width, height, time_s, max_steps):
             st, seg = carry
             rel = st.p  # mass at origin (config.h:30)
             r2 = rel.x * rel.x + rel.y * rel.y + rel.z * rel.z
-            abs_y = jnp.abs(rel.y)
-            in_disk_zone = jnp.logical_and(
-                abs_y < scene.disk_h_m * 5.0,
-                r2 < (scene.disk_out_m + 5.0) ** 2,
-            )
-            in_cloud_zone = jnp.logical_and(
-                abs_y < scene.cloud_h_m * 1.5, r2 < scene.cloud_out_m ** 2
-            )
+            in_disk_zone, in_cloud_zone = media_zones(scene, rel, r2)
             pd, pc = media_probes(
                 scene, rel, in_disk_zone, in_cloud_zone, st.active
             )

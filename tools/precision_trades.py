@@ -34,8 +34,6 @@ def main():
     ap.add_argument("--caps", type=int, nargs="*", default=[4, 3, 2])
     args = ap.parse_args()
 
-    import dataclasses
-
     from relativisticraytracer_tpu.config import (
         CameraEffects,
         RenderSettings,

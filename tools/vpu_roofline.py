@@ -199,7 +199,6 @@ def main():
     # fusion factor); adds/subs pair with muls somewhere between fully
     # (low bound) and never (high bound)
     fuse = mul_rate / report["fma_lane_ops_per_s"] - 1.0
-    addlike = counts.get("add", 0) + counts.get("sub", 0)
     demand_low = demand_high = 0.0
     for name, n in counts.items():
         w = slot.get(name, 1.0)
