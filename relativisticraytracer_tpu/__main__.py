@@ -102,9 +102,14 @@ def cmd_anim(args):
     from relativisticraytracer_tpu.paths import default_paths
     from relativisticraytracer_tpu.runtime.app import AnimationJob
 
-    r = _build_renderer(args)
     paths = default_paths()
-    path = paths[args.path_index % len(paths)]
+    if not 0 <= args.path_index < len(paths):
+        raise SystemExit(
+            f"--path-index {args.path_index} out of range: "
+            f"{len(paths)} paths (see the `paths` subcommand)"
+        )
+    path = paths[args.path_index]
+    r = _build_renderer(args)
     effects = effects_off() if args.no_effects else CameraEffects()
     job = AnimationJob(
         path=path, renderer=r, effects=effects, fps=args.fps,

@@ -57,17 +57,21 @@ class FrameSequenceWriter:
 
     FMT = "frame_{:05d}.png"
 
-    def __init__(self, out_dir: str, width: int, height: int):
+    def __init__(self, out_dir: str, width: int, height: int,
+                 fps: Optional[int] = None):
         self.dir = pathlib.Path(out_dir)
         self.width = width
         self.height = height
+        self.fps = fps
         self._next = 0
 
     def resume(self) -> int:
         """First missing frame index (files must be consecutive from 0).
 
         Refuses to resume into a directory whose existing frames were
-        written at a different resolution — the PNG-sequence analog of
+        written at a different resolution OR recording fps (each frame
+        carries an `rrt_fps` PNG text chunk; frames at another fps sit on
+        a different simulation clock) — the PNG-sequence analog of
         VideoRecorder's geometry-checked sidecar."""
         self.dir.mkdir(parents=True, exist_ok=True)
         first = self.dir / self.FMT.format(0)
@@ -81,6 +85,14 @@ class FrameSequenceWriter:
                         f"{im.size[0]}x{im.size[1]}, this run renders "
                         f"{self.width}x{self.height}"
                     )
+                prev_fps = im.text.get("rrt_fps") if hasattr(im, "text") else None
+            if (self.fps is not None and prev_fps is not None
+                    and int(prev_fps) != int(self.fps)):
+                raise ValueError(
+                    f"cannot resume into {self.dir}: existing frames were "
+                    f"recorded at {prev_fps} fps, this run is {self.fps} — "
+                    "their sim clocks differ"
+                )
         k = 0
         while (self.dir / self.FMT.format(k)).exists():
             k += 1
@@ -96,7 +108,14 @@ class FrameSequenceWriter:
             raise ValueError(f"bad frame {frame.shape} {frame.dtype}")
         target = self.dir / self.FMT.format(self._next)
         tmp = target.with_name(target.name + ".tmp")
-        Image.fromarray(frame).save(tmp, format="PNG")
+        kw = {}
+        if self.fps is not None:
+            from PIL.PngImagePlugin import PngInfo
+
+            info = PngInfo()
+            info.add_text("rrt_fps", str(int(self.fps)))
+            kw["pnginfo"] = info
+        Image.fromarray(frame).save(tmp, format="PNG", **kw)
         os.replace(tmp, target)
         self._next += 1
 

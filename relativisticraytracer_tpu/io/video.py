@@ -17,6 +17,7 @@ from __future__ import annotations
 import datetime
 import json
 import pathlib
+import shlex
 import shutil
 from typing import Optional
 
@@ -45,7 +46,10 @@ def ffmpeg_command(width: int, height: int, fps: int, out_path: str,
         "-preset fast "
         "-crf 18 "
         "-pix_fmt yuv420p "
-        f'"{out_path}"'
+        # shell-quote: the sink runs this via a shell, and the sidecar
+        # publishes it for users to run — a path with quotes/$/backticks
+        # must not split the command or execute
+        f"{shlex.quote(out_path)}"
     )
 
 
@@ -133,6 +137,26 @@ class SegmentedRecorder:
             expect = s["start"] + s["frames"]
         self._segments = good
         self.next_frame = expect
+        return self.next_frame
+
+    def truncate_to(self, n: int) -> int:
+        """Drop resumed segments beyond frame count `n` (a re-run with a
+        shorter --duration / lower --fps): whole segments past n are
+        deleted; a segment straddling n is deleted too and its frames
+        re-render (MP4 can't be trimmed losslessly). Returns the new
+        next_frame (<= n)."""
+        keep: list[dict] = []
+        for s in self._segments:
+            if s["start"] + s["frames"] <= n:
+                keep.append(s)
+                continue
+            pathlib.Path(s["path"]).unlink(missing_ok=True)
+        if len(keep) != len(self._segments):
+            self._segments = keep
+            self.next_frame = (
+                keep[-1]["start"] + keep[-1]["frames"] if keep else 0
+            )
+            self._write_ckpt()
         return self.next_frame
 
     def _write_ckpt(self) -> None:
@@ -276,14 +300,16 @@ class VideoRecorder:
                     )
                 prev = json.loads(side.read_text())
                 if (prev.get("width"), prev.get("height"),
-                        prev.get("pix_fmt", "rgba")) != (
-                    self.width, self.height, self.pix_fmt
+                        prev.get("fps"), prev.get("pix_fmt", "rgba")) != (
+                    self.width, self.height, self.fps, self.pix_fmt
                 ):
                     raise ValueError(
                         f"cannot resume {self.out_path}: it holds "
-                        f"{prev.get('width')}x{prev.get('height')} "
+                        f"{prev.get('width')}x{prev.get('height')}"
+                        f"@{prev.get('fps')} "
                         f"{prev.get('pix_fmt', 'rgba')} frames, recorder is "
-                        f"{self.width}x{self.height} {self.pix_fmt}"
+                        f"{self.width}x{self.height}@{self.fps} "
+                        f"{self.pix_fmt}"
                     )
                 # Drop any partial frame a crash may have left behind.
                 import os

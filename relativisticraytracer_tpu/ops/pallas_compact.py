@@ -61,6 +61,12 @@ from relativisticraytracer_tpu.config import (
 )
 from relativisticraytracer_tpu.core.utils import largest_divisor_at_most
 from relativisticraytracer_tpu.core.vecmath import Vec3, normalize
+from relativisticraytracer_tpu.ops.pallas_march import (
+    BLOCK_H,
+    BLOCK_W,
+    _round_up,
+    pack_camera_scalars,
+)
 from relativisticraytracer_tpu.render.march import (
     MarchState,
     _media_contribution,
@@ -304,8 +310,8 @@ def march_pallas_camera_sky_record(
     max_steps: int,
     sky_h: int,
     sky_w: int,
-    block_h: int = 32,
-    block_w: int = 128,
+    block_h: int = BLOCK_H,
+    block_w: int = BLOCK_W,
     unroll: int = 8,
     slots: int = SLOTS,
     interpret: bool = False,
@@ -318,26 +324,13 @@ def march_pallas_camera_sky_record(
     """
     if (block_h * block_w) % 128:
         raise ValueError("block_h*block_w must be a multiple of 128")
-    hp = (height + block_h - 1) // block_h * block_h
-    wp = (width + block_w - 1) // block_w * block_w
+    hp = _round_up(height, block_h)
+    wp = _round_up(width, block_w)
     nby, nbx = hp // block_h, wp // block_w
     num_blocks = nby * nbx
     tile_rows = (block_h * block_w) // 128
 
-    ca_eff = jnp.where(
-        effects.use_chromatic_aberration > 0.5,
-        effects.ca_amount, jnp.float32(0.0),
-    )
-    scal = jnp.concatenate([
-        jnp.asarray(time, jnp.float32).reshape(1),
-        jnp.asarray(camera.pos, jnp.float32).reshape(3),
-        jnp.asarray(camera.forward, jnp.float32).reshape(3),
-        jnp.asarray(camera.right, jnp.float32).reshape(3),
-        jnp.asarray(camera.up, jnp.float32).reshape(3),
-        jnp.asarray(effects.use_lens_distortion, jnp.float32).reshape(1),
-        jnp.asarray(effects.distortion_amount, jnp.float32).reshape(1),
-        jnp.asarray(ca_eff, jnp.float32).reshape(1),
-    ])
+    scal = pack_camera_scalars(camera, effects, time)
 
     tile_spec = pl.BlockSpec(
         (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -591,10 +584,7 @@ def render_frame_pallas_compact(
     Requires a skybox and at least one enabled medium; other configs fall
     back to the fused inline kernel."""
     from relativisticraytracer_tpu.ops.pallas_march import (
-        BLOCK_H,
-        BLOCK_W,
         _from_lane_tiles,
-        _round_up,
         _to_lane_tiles,
         _uv_planes,
         render_frame_pallas,

@@ -64,6 +64,36 @@ from relativisticraytracer_tpu.render.skybox import (
 # while body. Defaults from a 1080p sweep on a v5e chip.
 BLOCK_H = 32
 BLOCK_W = 128
+
+
+def pack_camera_scalars(camera, effects: CameraEffects, time,
+                        with_ca: bool = True):
+    """The SMEM camera ABI: [time, pos(3), forward(3), right(3), up(3),
+    use_lens_distortion, distortion_amount (, ca_eff)] — 15 scalars, 16
+    with the chromatic-aberration offset. ONE definition shared by every
+    in-kernel-ray-gen launcher (inline sky, record pass): the kernels read
+    these by index, so adding a scalar here must be paired with updating
+    each kernel's scal_ref index map."""
+    parts = [
+        jnp.asarray(time, jnp.float32).reshape(1),
+        jnp.asarray(camera.pos, jnp.float32).reshape(3),
+        jnp.asarray(camera.forward, jnp.float32).reshape(3),
+        jnp.asarray(camera.right, jnp.float32).reshape(3),
+        jnp.asarray(camera.up, jnp.float32).reshape(3),
+        jnp.asarray(effects.use_lens_distortion, jnp.float32).reshape(1),
+        jnp.asarray(effects.distortion_amount, jnp.float32).reshape(1),
+    ]
+    if with_ca:
+        # Effective CA offset: 0.0 while the effect is off — then all three
+        # channel coordinate sets are bitwise the G set
+        # (raymarcher.cu:131-145).
+        ca_eff = jnp.where(
+            effects.use_chromatic_aberration > 0.5,
+            effects.ca_amount, jnp.float32(0.0),
+        )
+        parts.append(jnp.asarray(ca_eff, jnp.float32).reshape(1))
+    return jnp.concatenate(parts)
+
 UNROLL = 8
 # Media-cond granularity (lane rows per independent sub-group). Whole-tile
 # (0) won both sweeps: the round-1 tuple-of-states grouping spilled VMEM,
@@ -377,15 +407,7 @@ def march_pallas_camera(
     num_blocks = nby * nbx
     tile_rows = (block_h * block_w) // 128
 
-    scal = jnp.concatenate([
-        jnp.asarray(time, jnp.float32).reshape(1),
-        jnp.asarray(camera.pos, jnp.float32).reshape(3),
-        jnp.asarray(camera.forward, jnp.float32).reshape(3),
-        jnp.asarray(camera.right, jnp.float32).reshape(3),
-        jnp.asarray(camera.up, jnp.float32).reshape(3),
-        jnp.asarray(effects.use_lens_distortion, jnp.float32).reshape(1),
-        jnp.asarray(effects.distortion_amount, jnp.float32).reshape(1),
-    ])
+    scal = pack_camera_scalars(camera, effects, time, with_ca=False)
 
     tile_spec = pl.BlockSpec(
         (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -519,22 +541,7 @@ def march_pallas_camera_sky(
     num_blocks = nby * nbx
     tile_rows = (block_h * block_w) // 128
 
-    # Effective CA offset: 0.0 while the effect is off — then all three
-    # channel coordinate sets are bitwise the G set (raymarcher.cu:131-145).
-    ca_eff = jnp.where(
-        effects.use_chromatic_aberration > 0.5,
-        effects.ca_amount, jnp.float32(0.0),
-    )
-    scal = jnp.concatenate([
-        jnp.asarray(time, jnp.float32).reshape(1),
-        jnp.asarray(camera.pos, jnp.float32).reshape(3),
-        jnp.asarray(camera.forward, jnp.float32).reshape(3),
-        jnp.asarray(camera.right, jnp.float32).reshape(3),
-        jnp.asarray(camera.up, jnp.float32).reshape(3),
-        jnp.asarray(effects.use_lens_distortion, jnp.float32).reshape(1),
-        jnp.asarray(effects.distortion_amount, jnp.float32).reshape(1),
-        jnp.asarray(ca_eff, jnp.float32).reshape(1),
-    ])
+    scal = pack_camera_scalars(camera, effects, time)
 
     tile_spec = pl.BlockSpec(
         (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM

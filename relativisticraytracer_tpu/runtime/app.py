@@ -33,6 +33,7 @@ from relativisticraytracer_tpu.paths import (
     CameraPath,
     PathController,
     PathManager,
+    fixed_step_dt,
     init_default_paths,
     interpolate_path,
 )
@@ -146,7 +147,7 @@ class Session:
         # could record a reduced-quality motion frame.
         with self._rec_lock:
             recording = self.recorder.is_recording
-        dt = 1.0 / RECORDING_FPS if recording else wall_dt
+        dt = fixed_step_dt(recording, wall_dt)
         self.sim_time += dt
         self.paths.update(dt)
         cam = (
@@ -323,7 +324,7 @@ class AnimationJob:
                     f"(got {self.transfer!r})"
                 )
             seq = FrameSequenceWriter(self.out_path, settings.width,
-                                      settings.height)
+                                      settings.height, fps=self.fps)
             if not resume:
                 # Fresh run: clear leftover frames BEFORE resume() — its
                 # geometry guard must only veto actual resumes, not a
@@ -357,6 +358,12 @@ class AnimationJob:
                 pix_fmt=self.transfer,
             )
             start_frame = seg.resume() if resume else 0
+            if resume:
+                # A prior run with a longer duration / higher fps may have
+                # checkpointed segments beyond this run's frame count —
+                # drop them (a straddling segment re-renders) so the final
+                # video holds exactly the advertised frames.
+                start_frame = seg.truncate_to(self.total_frames())
             if not resume:
                 # discard any stale checkpoint/segments from a prior run
                 import shutil as _shutil
@@ -390,7 +397,10 @@ class AnimationJob:
                     if raw_path.exists()
                     else 0
                 )
-                start_frame = min(start_frame, on_disk)
+                # ...and never past this run's frame count: a shorter
+                # re-run must not keep a longer prior run's tail (start()
+                # truncates the raw file to append_frames frames).
+                start_frame = min(start_frame, on_disk, self.total_frames())
         out_path = rec.start(append_frames=start_frame)
         ckpt = self._checkpoint_path(out_path)
 

@@ -696,3 +696,97 @@ def test_png_fresh_run_overwrites_different_resolution(tmp_path):
 
     with Image.open(out_dir / "frame_00000.png") as im:
         assert im.size == (8, 6)
+
+
+def test_mp4_resume_shorter_duration_drops_tail_segments(
+        tmp_path, monkeypatch, fake_ffmpeg):
+    """Resuming an MP4 job with a SHORTER --duration must not concatenate
+    the longer prior run's tail segments into the final video (review
+    round 3); the byte result equals an uninterrupted short run."""
+    monkeypatch.chdir(tmp_path)
+    r = _tiny_renderer()
+    path = default_paths()[0]
+    frame_bytes = 16 * 12 * 4
+
+    want = None
+    short_ref = AnimationJob(path=path, renderer=r, fps=2, duration=2.0,
+                             out_path=str(tmp_path / "ref.mp4"),
+                             checkpoint_every=2).run()
+    assert short_ref["frames_written"] == 4
+    want = (tmp_path / "ref.mp4").read_bytes()
+
+    out = str(tmp_path / "clip.mp4")
+    long_job = AnimationJob(path=path, renderer=r, fps=2, duration=3.0,
+                            out_path=out, checkpoint_every=2)
+
+    class Boom(RuntimeError):
+        pass
+
+    def bomb(k, n, ms):
+        if k >= 5:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        long_job.run(progress=bomb)  # leaves segments covering >= 4 frames
+
+    short_job = AnimationJob(path=path, renderer=r, fps=2, duration=2.0,
+                             out_path=out, checkpoint_every=2)
+    stats = short_job.run(resume=True)
+    assert stats["frames"] >= 0  # never negative (was -? pre-fix)
+    assert stats["frames_written"] == 4
+    assert (tmp_path / "clip.mp4").read_bytes() == want
+    assert len(want) == 4 * frame_bytes
+
+
+def test_raw_resume_shorter_duration_truncates(tmp_path, monkeypatch):
+    """Raw-file resume with a shorter duration clamps to the new frame
+    count and truncates the stale tail (review round 3)."""
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    r = _tiny_renderer()
+    path = default_paths()[0]
+    out = str(tmp_path / "clip.rgba")
+    frame_bytes = 16 * 12 * 4
+
+    AnimationJob(path=path, renderer=r, fps=2, duration=3.0,
+                 out_path=out, checkpoint_every=2).run()
+    assert (tmp_path / "clip.rgba").stat().st_size == 6 * frame_bytes
+    # the finished run removed its checkpoint; fabricate a crashed state
+    import json as _json
+
+    job2 = AnimationJob(path=path, renderer=r, fps=2, duration=2.0,
+                        out_path=out, checkpoint_every=2)
+    ckpt_path = job2._checkpoint_path(out)
+    ckpt_path.write_text(_json.dumps({"next_frame": 6, "out_path": out}))
+    stats = job2.run(resume=True)
+    assert stats["frames"] == 0        # all 4 requested frames already done
+    assert stats["frames_written"] == 0  # written THIS run (raw-sink count)
+    assert (tmp_path / "clip.rgba").stat().st_size == 4 * frame_bytes
+
+
+def test_png_resume_fps_mismatch(tmp_path):
+    """PNG frames carry their recording fps (rrt_fps text chunk); resuming
+    at a different --fps refuses — the frames sit on different sim clocks
+    (review round 3)."""
+    from relativisticraytracer_tpu.io.image import FrameSequenceWriter
+
+    a = FrameSequenceWriter(str(tmp_path), 16, 12, fps=24)
+    a.resume()
+    a.capture(np.zeros((12, 16, 4), dtype=np.uint8))
+    b = FrameSequenceWriter(str(tmp_path), 16, 12, fps=48)
+    with pytest.raises(ValueError, match="24 fps"):
+        b.resume()
+    # same fps resumes fine; unknown old fps (no chunk) is accepted
+    c = FrameSequenceWriter(str(tmp_path), 16, 12, fps=24)
+    assert c.resume() == 1
+
+
+def test_ffmpeg_command_shell_quotes_out_path():
+    """out_path is interpolated into a shell=True command; quoting must be
+    shlex-safe (review round 3)."""
+    from relativisticraytracer_tpu.io.video import ffmpeg_command
+
+    cmd = ffmpeg_command(4, 2, 24, "a $(hostname) \"b\".mp4")
+    assert "$(hostname)" in cmd
+    assert "'a $(hostname) \"b\".mp4'" in cmd
