@@ -18,7 +18,16 @@ import sys
 PRESETS = {
     "cinema": (1920, 1080),
     "preview": (960, 540),
+    "native": (1000, 700),    # the reference's window (config.h:7-8)
     "realtime": (480, 272),
+}
+
+# Measured-interactive motion step cap per preset (1x v5e; README table):
+# while flying, the session marches with this cap and snaps back to full
+# quality when you stop. Explicit --motion-steps always wins.
+PRESET_MOTION_STEPS = {
+    "native": 400,      # 37 ms/frame in motion (27 fps), 89 ms full
+    "realtime": 600,    # 27 ms/frame full quality already; 600 keeps slack
 }
 
 
@@ -43,7 +52,8 @@ def _devices_arg(s):
 def _add_render_args(p):
     p.add_argument("--preset", choices=sorted(PRESETS), default=None,
                    help="resolution preset (cinema=1080p, preview=540p, "
-                        "realtime=480x272 ~30fps on one v5e); explicit "
+                        "native=the reference's 1000x700 window, "
+                        "realtime=480x272 ~37fps on one v5e); explicit "
                         "--width/--height win")
     p.add_argument("--width", type=int, default=None,
                    help="default 1000 (config.h:7) or the preset's width")
@@ -152,11 +162,11 @@ def cmd_interactive(args):
     # animation keep the reference default. README's fps-per-preset table
     # has the measurements.
     if args.preset is None and args.width is None and args.height is None:
+        args.preset = "realtime"
         args.width, args.height = PRESETS["realtime"]
-        if args.motion_steps is None:
-            args.motion_steps = 600
     if args.motion_steps is None:
-        args.motion_steps = 0  # explicit 0 stays 0 (disabled)
+        # measured-interactive default for the chosen preset
+        args.motion_steps = PRESET_MOTION_STEPS.get(args.preset, 0)
 
     renderer = _build_renderer(args)
     motion_r = None

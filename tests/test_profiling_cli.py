@@ -200,3 +200,23 @@ def test_cli_interactive_explicit_motion_steps_zero(monkeypatch):
     assert s.renderer.settings.width == 480
     # ...but motion stepping stays disabled as explicitly requested
     assert s.motion_renderer is None
+
+
+def test_cli_interactive_native_preset_motion_default(monkeypatch):
+    """--preset native (the reference's 1000x700 window) gets the measured
+    motion-step default (400) so it is interactive while flying."""
+    import relativisticraytracer_tpu.runtime.preview as preview
+
+    seen = {}
+    monkeypatch.setattr(
+        preview, "run_terminal_preview",
+        lambda session, frames=0, width=100, fps_cap=15.0, out=None:
+        seen.update(session=session),
+    )
+    cli_main(["interactive", "--terminal", "--preset", "native",
+              "--no-clouds", "--no-disk"])
+    s = seen["session"]
+    assert s.renderer.settings.width == 1000
+    assert s.renderer.settings.height == 700
+    assert s.motion_renderer is not None
+    assert s.motion_renderer.settings.max_steps == 400
