@@ -66,8 +66,11 @@ def test_ffmpeg_command_matches_reference_settings():
     # reference: main.cpp:61-72, minus vflip (our rows are already top-down)
     for part in ["-f rawvideo", "-pix_fmt rgba", "-s 1000x700", "-r 24",
                  "-c:v libx264", "-preset fast", "-crf 18",
-                 "-pix_fmt yuv420p", '"out.mp4"']:
+                 "-pix_fmt yuv420p"]:
         assert part in cmd
+    # shlex.quote: plain paths stay bare, shell metacharacters get quoted
+    assert cmd.endswith(" out.mp4")
+    assert ffmpeg_command(64, 64, 24, "a b$.mp4").endswith(" 'a b$.mp4'")
     assert "vflip" not in cmd
 
 

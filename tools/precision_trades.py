@@ -9,6 +9,11 @@ This measures what spending it buys on THIS hardware:
     capped at N (SceneConfig.noise_octave_cap; None = reference-exact).
     Rendered through the production compact path at 1080p, hard-synced
     ms + RMSE vs the exact frame (computed on device).
+  * step_scale k: SceneConfig.step_size_m scaled by k — the same geodesic
+    integral with coarser RK4 steps (every adaptive zone scales together,
+    raymarcher.cu:54-62 semantics preserved). Rays terminate in ~1/k the
+    steps, so the march cost drops ~linearly — IF the lensing error near
+    the photon ring fits the budget.
 
 Writes docs/precision_trades.json. Run on the chip.
 """
@@ -32,6 +37,8 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--caps", type=int, nargs="*", default=[4, 3, 2])
+    ap.add_argument("--step-scales", type=float, nargs="*",
+                    default=[1.1, 1.25, 1.5])
     args = ap.parse_args()
 
     from relativisticraytracer_tpu.config import (
@@ -83,7 +90,27 @@ def main():
         }
         print(f"octaves<={cap} {ms:7.1f} ms  rmse {e:.2e}  ({ok})")
 
+    base_h = SceneConfig().step_size_m
+    for k in args.step_scales:
+        scene = SceneConfig(step_size_m=base_h * k)
+        r = Renderer(scene, settings, skybox_rgba=sky)
+        frame, ms = timed(r)
+        e = float(rmse(frame, exact_frame))
+        ok = "WITHIN budget" if e < 1e-3 else "over budget"
+        results["cases"][f"step_scale {k}"] = {
+            "ms": round(ms, 1), "rmse": round(e, 6), "fits_budget": e < 1e-3,
+        }
+        print(f"step x{k:<4} {ms:7.1f} ms  rmse {e:.2e}  ({ok})")
+
     out = pathlib.Path(__file__).resolve().parents[1] / "docs" / "precision_trades.json"
+    if out.exists():
+        # partial runs (--caps / --step-scales subsets) merge into the
+        # existing record instead of clobbering the other cases
+        prev = json.loads(out.read_text())
+        if (prev.get("width"), prev.get("height")) == (W, H):
+            merged = prev.get("cases", {})
+            merged.update(results["cases"])
+            results["cases"] = merged
     out.write_text(json.dumps(results, indent=2))
     print(f"wrote {out}")
 
