@@ -64,6 +64,10 @@ def _add_render_args(p):
     p.add_argument("--no-disk", action="store_true")
     p.add_argument("--no-clouds", action="store_true")
     p.add_argument("--no-effects", action="store_true")
+    p.add_argument("--octave-cap", type=int, default=None,
+                   help="cap every fbm/ridge octave count in the media "
+                        "noise (stylized preview; measured over the parity "
+                        "budget — see PERF.md precision trades)")
     p.add_argument("--skybox", type=str, default=None,
                    help="equirect image path (procedural starfield if omitted)")
     p.add_argument("--loop", default=None, choices=["while", "scan", "pallas"],
@@ -85,6 +89,7 @@ def _build_renderer(args):
         max_steps=args.max_steps,
         enable_disk=not args.no_disk,
         enable_clouds=not args.no_clouds,
+        noise_octave_cap=args.octave_cap,
     )
     settings = RenderSettings(
         width=args.width, height=args.height, max_steps=args.max_steps, loop=loop

@@ -220,3 +220,23 @@ def test_cli_interactive_native_preset_motion_default(monkeypatch):
     assert s.renderer.settings.height == 700
     assert s.motion_renderer is not None
     assert s.motion_renderer.settings.max_steps == 400
+
+
+def test_cli_octave_cap_flag(tmp_path):
+    """--octave-cap reaches SceneConfig.noise_octave_cap and still renders
+    (stylized preview; PERF.md precision-trade knob)."""
+    out = tmp_path / "f.png"
+    cli_main([
+        "still", "--width", "32", "--height", "24", "--max-steps", "16",
+        "--loop", "while", "--octave-cap", "2", "--out", str(out),
+    ])
+    assert out.exists()
+    # and the default stays reference-exact (None)
+    import argparse
+    from relativisticraytracer_tpu.__main__ import _build_renderer
+
+    ns = argparse.Namespace(
+        preset=None, width=16, height=16, max_steps=8, spin=0.0,
+        no_disk=False, no_clouds=False, no_effects=False, skybox=None,
+        loop="while", time=1.0, octave_cap=None)
+    assert _build_renderer(ns).scene.noise_octave_cap is None
