@@ -26,9 +26,18 @@ PRESETS = {
 # while flying, the session marches with this cap and snaps back to full
 # quality when you stop. Explicit --motion-steps always wins.
 PRESET_MOTION_STEPS = {
-    "native": 400,      # 37 ms/frame in motion (27 fps), 89 ms full
-    "realtime": 600,    # 27 ms/frame full quality already; 600 keeps slack
+    "native": 400,      # ~32 ms/frame in motion (~30 fps), ~84 ms full
+    "realtime": 600,    # ~27 ms/frame full quality already; 600 keeps slack
 }
+
+
+def _positive_int(s):
+    """argparse type: a strictly positive int, failing with a usage error
+    instead of a silent degenerate render (octave cap 0 = no noise at all)."""
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
 
 
 def _devices_arg(s):
@@ -64,10 +73,10 @@ def _add_render_args(p):
     p.add_argument("--no-disk", action="store_true")
     p.add_argument("--no-clouds", action="store_true")
     p.add_argument("--no-effects", action="store_true")
-    p.add_argument("--octave-cap", type=int, default=None,
+    p.add_argument("--octave-cap", type=_positive_int, default=None,
                    help="cap every fbm/ridge octave count in the media "
-                        "noise (stylized preview; measured over the parity "
-                        "budget — see PERF.md precision trades)")
+                        "noise, >= 1 (stylized preview; measured over the "
+                        "parity budget — see PERF.md precision trades)")
     p.add_argument("--skybox", type=str, default=None,
                    help="equirect image path (procedural starfield if omitted)")
     p.add_argument("--loop", default=None, choices=["while", "scan", "pallas"],
@@ -167,8 +176,7 @@ def cmd_interactive(args):
     # animation keep the reference default. README's fps-per-preset table
     # has the measurements.
     if args.preset is None and args.width is None and args.height is None:
-        args.preset = "realtime"
-        args.width, args.height = PRESETS["realtime"]
+        args.preset = "realtime"  # _build_renderer resolves the resolution
     if args.motion_steps is None:
         # measured-interactive default for the chosen preset
         args.motion_steps = PRESET_MOTION_STEPS.get(args.preset, 0)
@@ -313,9 +321,11 @@ def main(argv=None):
                              "reduced step cap for a snappier preview "
                              "(full quality returns when you stop; "
                              "recording always renders full quality); "
-                             "0 disables. When no size/preset is given, "
-                             "interactive defaults to the realtime preset "
-                             "with motion-steps 600")
+                             "0 disables. Default: the preset's measured "
+                             "cap (realtime 600, native 400 — README "
+                             "table), 0 for other sizes; with no "
+                             "size/preset at all, the realtime preset is "
+                             "used")
     p_live.set_defaults(fn=cmd_interactive)
 
     p_paths = sub.add_parser("paths", help="list built-in camera paths")

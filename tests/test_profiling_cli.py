@@ -231,12 +231,15 @@ def test_cli_octave_cap_flag(tmp_path):
         "--loop", "while", "--octave-cap", "2", "--out", str(out),
     ])
     assert out.exists()
-    # and the default stays reference-exact (None)
-    import argparse
-    from relativisticraytracer_tpu.__main__ import _build_renderer
+    # the default stays reference-exact (None), and non-positive caps fail
+    # at parse time instead of silently rendering noiseless media
+    import pytest as _pytest
 
-    ns = argparse.Namespace(
-        preset=None, width=16, height=16, max_steps=8, spin=0.0,
-        no_disk=False, no_clouds=False, no_effects=False, skybox=None,
-        loop="while", time=1.0, octave_cap=None)
-    assert _build_renderer(ns).scene.noise_octave_cap is None
+    from relativisticraytracer_tpu.__main__ import _positive_int
+
+    from relativisticraytracer_tpu.config import SceneConfig
+
+    assert SceneConfig().noise_octave_cap is None
+    with _pytest.raises(Exception):
+        _positive_int("0")
+    assert _positive_int("3") == 3

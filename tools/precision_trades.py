@@ -79,38 +79,35 @@ def main():
         d = (a[..., :3].astype(jnp.float32) - b[..., :3].astype(jnp.float32))
         return jnp.sqrt(jnp.mean((d / 255.0) ** 2))
 
-    for cap in args.caps:
-        scene = SceneConfig(noise_octave_cap=cap)
-        r = Renderer(scene, settings, skybox_rgba=sky)
-        frame, ms = timed(r)
-        e = float(rmse(frame, exact_frame))
-        ok = "WITHIN budget" if e < 1e-3 else "over budget"
-        results["cases"][f"octaves<= {cap}"] = {
-            "ms": round(ms, 1), "rmse": round(e, 6), "fits_budget": e < 1e-3,
-        }
-        print(f"octaves<={cap} {ms:7.1f} ms  rmse {e:.2e}  ({ok})")
+    BUDGET = 1e-3
 
+    def measure_case(name, scene):
+        frame, ms = timed(Renderer(scene, settings, skybox_rgba=sky))
+        e = float(rmse(frame, exact_frame))
+        ok = "WITHIN budget" if e < BUDGET else "over budget"
+        results["cases"][name] = {
+            "ms": round(ms, 1), "rmse": round(e, 6), "fits_budget": e < BUDGET,
+        }
+        print(f"{name:<12} {ms:7.1f} ms  rmse {e:.2e}  ({ok})")
+
+    for cap in args.caps:
+        measure_case(f"octaves<= {cap}", SceneConfig(noise_octave_cap=cap))
     base_h = SceneConfig().step_size_m
     for k in args.step_scales:
-        scene = SceneConfig(step_size_m=base_h * k)
-        r = Renderer(scene, settings, skybox_rgba=sky)
-        frame, ms = timed(r)
-        e = float(rmse(frame, exact_frame))
-        ok = "WITHIN budget" if e < 1e-3 else "over budget"
-        results["cases"][f"step_scale {k}"] = {
-            "ms": round(ms, 1), "rmse": round(e, 6), "fits_budget": e < 1e-3,
-        }
-        print(f"step x{k:<4} {ms:7.1f} ms  rmse {e:.2e}  ({ok})")
+        measure_case(f"step_scale {k}", SceneConfig(step_size_m=base_h * k))
 
     out = pathlib.Path(__file__).resolve().parents[1] / "docs" / "precision_trades.json"
     if out.exists():
         # partial runs (--caps / --step-scales subsets) merge into the
-        # existing record instead of clobbering the other cases
+        # existing record instead of clobbering the other cases, and any
+        # extra top-level records (e.g. step_scale_probe) are preserved
         prev = json.loads(out.read_text())
-        if (prev.get("width"), prev.get("height")) == (W, H):
-            merged = prev.get("cases", {})
-            merged.update(results["cases"])
-            results["cases"] = merged
+        same_dims = (prev.get("width"), prev.get("height")) == (W, H)
+        merged_cases = prev.get("cases", {}) if same_dims else {}
+        merged_cases.update(results["cases"])
+        prev.update(results)
+        prev["cases"] = merged_cases
+        results = prev
     out.write_text(json.dumps(results, indent=2))
     print(f"wrote {out}")
 

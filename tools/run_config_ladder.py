@@ -79,7 +79,7 @@ def main():
         ("4b_full_540p_preview", SceneConfig(), 960, 540, CameraEffects()),
         ("4c_full_realtime", SceneConfig(), 480, 272, CameraEffects()),
         # the reference's own window size (config.h:7-8) at full quality;
-        # the `native` preset flies at motion-steps 400 (~37 ms, README)
+        # the `native` preset flies at motion-steps 400 (~32 ms, README)
         ("4d_reference_window", SceneConfig(), 1000, 700, CameraEffects()),
     ]
     for name, scene, w, h, eff in ladder:
