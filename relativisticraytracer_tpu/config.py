@@ -193,12 +193,22 @@ class RenderSettings:
     # conds inside the march (round-2 kernel); "compact" records media
     # segments during a vacuum-cost march and replays ONLY those segments in
     # a dense second pass (ops/pallas_compact.py) — bitwise-equal output
-    # (chip-gated, tools/chip_parity_compact.py) at 216 vs 258 ms for the
+    # (chip-gated, tools/chip_parity_compact.py) at ~200 vs 258 ms for the
     # 1080p headline frame. Ignored off the pallas path.
     media_pass: str = "compact"
     # Exactly-tracked media segments per ray on the compact path; later
     # crossings merge into the last slot (replayed with harmless gap steps).
     media_slots: int = 3
+    # Replay layout on the compact path. True (default): row-compact the
+    # media rays into a `media_capacity`-lane buffer sorted by replay
+    # length so tiles are length-uniform
+    # (ops/pallas_compact.media_replay_sorted; bitwise-equal, falls back
+    # to the image layout under one lax.cond when a pose has more media
+    # rows than media_capacity/128). False: replay in image layout.
+    # Measured at the 1080p headline pose: 215.1 -> 199.8 ms/frame
+    # (docs/bench_replay_sorted.json).
+    media_sort: bool = True
+    media_capacity: int = 1 << 17
 
     def resolved_loop(self) -> str:
         if self.loop != "auto":

@@ -564,6 +564,123 @@ def media_replay(
     return Vec3(ir, ig, ib), tr
 
 
+def media_replay_sorted(
+    scene: SceneConfig,
+    records,
+    time,
+    max_steps: int,
+    slots: int = SLOTS,
+    unroll: int = B_UNROLL,
+    b_rows: int = 16,
+    dense_b_rows: int = 16,
+    capacity: int = 1 << 17,
+    interpret: bool = False,
+):
+    """The B pass with row compaction + per-lane length sort.
+
+    `media_replay` runs in image layout: a (b_rows, 128) tile pays
+    max-over-lanes of its lanes' replay steps, and at 1080p only ~3.4% of
+    rays carry media at all — measured 47.9M lane-steps vs the 21.3M
+    per-ray ideal (docs/segment_stats.json). Round 2 rejected a FULL
+    per-ray sort (2M elements); the per-ray bookkeeping over 2M lanes is
+    indeed hopeless (a slot->lane `searchsorted` alone measures 63 ms,
+    tools/bench_bookkeeping.py). But only ~800 of the 16320 lane-rows
+    carry media at all (docs/segment_stats.json media_rows), so the
+    bookkeeping runs at ROW granularity first:
+
+      1. compact the media-carrying 128-lane rows with a 16K-row
+         cumsum + searchsorted and one contiguous row-gather of the
+         stacked record planes into a (capacity/128)-row buffer,
+      2. argsort the buffer's lanes by total replay length (longest
+         first; lanes of invalid rows are zeroed and sort to the end) so
+         replay tiles are length-uniform — the census says sorted 8x128
+         tiles pay 21.9M lane-steps, 1.03x of ideal,
+      3. replay the sorted buffer with the unchanged `_replay_kernel`
+         (all-zero tail tiles exit on their first `while` check),
+      4. inverse-permute (intensity, transmittance) and row-scatter them
+         back into the image (media-free rows keep I=0, T=1 — exactly
+         what replaying their all-zero records produces).
+
+    Replay of a ray depends only on its own recorded segments, so the
+    result is BITWISE equal to the image-layout pass in any order.
+
+    The whole bookkeeping chain lives in one fused XLA program: measured
+    7.9 ms (steps 1-3) + 9.4 ms (step 4) at 1080p on v5e
+    (tools/bench_bookkeeping2.py) vs ~100 ms for the per-lane variant.
+
+    `capacity` (in lanes; used as capacity/128 rows) is static — XLA
+    needs shapes. A pose with more media rows than the capacity (e.g. a
+    camera inside the disk) falls back to the exact image-layout replay
+    under one `lax.cond`, so the output is exact for every pose. At
+    1080p the default 131072 (1024 rows) covers 1.28x the headline
+    pose's 801-row census.
+
+    Reference correspondence: raymarcher.cu:67-117 — the GPU pays media
+    only on threads inside media; this is the TPU scheduling equivalent,
+    one step further than plain record/replay.
+    """
+    n_rows = records[0][0].shape[0]
+    total = records[0][6]
+    for s in range(1, slots):
+        total = total + records[s][6]
+
+    cap_rows = _round_up(min(max(capacity // 128, b_rows), n_rows), b_rows)
+    m = cap_rows * 128
+    row_mask = jnp.any(total > 0.0, axis=1)
+    rcm = jnp.cumsum(row_mask.astype(jnp.int32))
+    rcount = rcm[-1]
+
+    def compact_branch(records):
+        rsrc = jnp.searchsorted(
+            rcm, jnp.arange(1, cap_rows + 1, dtype=jnp.int32))
+        rvalid = jnp.arange(cap_rows, dtype=jnp.int32) < rcount
+        rsrc = jnp.where(rvalid, rsrc, 0)
+        planes = [records[s][j] for s in range(slots) for j in range(7)]
+        st = jnp.stack(planes, axis=-1)            # (n_rows, 128, 7*slots)
+        # invalid rows alias image row 0, which may itself carry media —
+        # zero them entirely (zero lengths replay as no-ops)
+        comp = st[rsrc] * rvalid[:, None, None].astype(jnp.float32)
+        lens_c = (total[rsrc] * rvalid[:, None].astype(jnp.float32)
+                  ).reshape(m)
+        order = jnp.argsort(-lens_c)
+        flat = comp.reshape(m, 7 * slots)[order]
+        crecords = tuple(
+            tuple(flat[:, 7 * s + j].reshape(cap_rows, 128)
+                  for j in range(7))
+            for s in range(slots)
+        )
+        inten_c, trans_c = media_replay(
+            scene, crecords, time, max_steps, slots=slots,
+            unroll=unroll, b_rows=b_rows, interpret=interpret,
+        )
+        res = jnp.stack(
+            [inten_c.x, inten_c.y, inten_c.z, trans_c], axis=-1
+        ).reshape(m, 4)
+        inv = jnp.zeros((m,), jnp.int32).at[order].set(
+            jnp.arange(m, dtype=jnp.int32), unique_indices=True)
+        back = res[inv].reshape(cap_rows, 128, 4)
+        img = jnp.zeros((n_rows, 128, 4), jnp.float32).at[:, :, 3].set(1.0)
+        # distinct out-of-bounds sentinels keep the scattered rows unique
+        rdst = jnp.where(
+            rvalid, rsrc,
+            n_rows + jnp.arange(cap_rows, dtype=jnp.int32))
+        img = img.at[rdst].set(back, mode="drop", unique_indices=True)
+        return (
+            Vec3(img[:, :, 0], img[:, :, 1], img[:, :, 2]),
+            img[:, :, 3],
+        )
+
+    def dense_branch(records):
+        return media_replay(scene, records, time, max_steps, slots=slots,
+                            unroll=unroll, b_rows=dense_b_rows,
+                            interpret=interpret)
+
+    if cap_rows >= n_rows:
+        return compact_branch(records)  # cannot overflow
+    return jax.lax.cond(rcount <= cap_rows, compact_branch, dense_branch,
+                        records)
+
+
 # --------------------------------------------------------------------------
 # Full-frame pipeline
 # --------------------------------------------------------------------------
@@ -605,10 +722,17 @@ def render_frame_pallas_compact(
         w, h, max_steps, sky_h, sky_w, slots=settings.media_slots,
         interpret=interpret,
     )
-    intensity, trans = media_replay(
-        scene, records, jnp.asarray(time, jnp.float32), max_steps,
-        slots=settings.media_slots, interpret=interpret,
-    )
+    if settings.media_sort:
+        intensity, trans = media_replay_sorted(
+            scene, records, jnp.asarray(time, jnp.float32), max_steps,
+            slots=settings.media_slots, capacity=settings.media_capacity,
+            interpret=interpret,
+        )
+    else:
+        intensity, trans = media_replay(
+            scene, records, jnp.asarray(time, jnp.float32), max_steps,
+            slots=settings.media_slots, interpret=interpret,
+        )
 
     # Captured rays: transmittance 0 (raymarcher.cu:49) — B cannot know
     # about captures, so the mask applies here.

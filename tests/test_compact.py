@@ -195,6 +195,51 @@ def test_compact_falls_back_without_media_or_sky():
     assert np.asarray(frame2).shape == (64, 96, 4)
 
 
+@pytest.mark.parametrize("pose", ["edge"])
+def test_sorted_replay_bitwise_equals_image_layout(pose):
+    # one pose: "edge" has multi-segment rays (the hard bookkeeping case)
+    # and a real media/vacuum row mix; the "high" pose adds ~4 min of
+    # 1-CPU interpret time without exercising a new branch (the chip-side
+    # bench gates both layouts bitwise at the headline pose every run,
+    # tools/bench_replay_sorted.py).
+    """media_replay_sorted must be BITWISE equal to the image-layout
+    replay in every branch: always-compact (capacity >= all rows),
+    lax.cond-compact (capacity covers the media rows), and the overflow
+    fallback (capacity smaller than the media-row count). Replay of a ray
+    depends only on its own recorded segments, so any lane order is
+    exact by construction — this pins the bookkeeping (row compaction,
+    sort, inverse permutation, row scatter-back)."""
+    from relativisticraytracer_tpu.ops.pallas_compact import (
+        media_replay_sorted,
+    )
+
+    scene = SceneConfig(max_steps=192)
+    w, h, steps = 128, 64, 192
+    cam = camera_state_from_pose(*POSES[pose])
+    sky = _sky()
+    t = jnp.float32(2.0)
+    _, _, _, _, records = march_pallas_camera_sky_record(
+        scene, cam, CameraEffects(), t, w, h, steps, *sky.shape,
+        slots=3, interpret=INTERPRET,
+    )
+    ref_i, ref_t = media_replay(scene, records, t, steps, slots=3,
+                                b_rows=8, interpret=INTERPRET)
+    n_rows = records[0][0].shape[0]
+    media_rows = int(jnp.sum(jnp.any(
+        (records[0][6] + records[1][6] + records[2][6]) > 0.0, axis=1)))
+    assert 0 < media_rows < n_rows  # both poses must exercise a real mix
+    for cap_lanes in (n_rows * 128,          # static always-compact
+                      (media_rows + 8) * 128,  # cond -> compact branch
+                      8 * 128):              # cond -> dense fallback
+        got_i, got_t = media_replay_sorted(
+            scene, records, t, steps, slots=3, b_rows=8, dense_b_rows=8,
+            capacity=cap_lanes, interpret=INTERPRET,
+        )
+        for a, b in [(ref_i.x, got_i.x), (ref_i.y, got_i.y),
+                     (ref_i.z, got_i.z), (ref_t, got_t)]:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_media_replay_rejects_non_dividing_b_rows():
     """b_rows must divide the lane-row count — silent truncation would
     leave tail rows of intensity/transmittance uninitialized (review
