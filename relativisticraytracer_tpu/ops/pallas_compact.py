@@ -259,14 +259,17 @@ def _record_camera_sky_kernel(scene: SceneConfig, max_steps: int,
                               block_h: int, block_w: int, nbx: int,
                               sky_h: int, sky_w: int,
                               scal_ref, hit_ref,
-                              idx_refs, fx_refs, fy_refs, rec_refs):
+                              idx_refs, fx_refs, fy_refs, rec_refs,
+                              origin_idx=None):
     """Record-pass kernel: in-kernel ray gen + vacuum march + segment
     recording + in-kernel sky addressing (same epilogue as
-    ops/pallas_march._march_camera_sky_kernel)."""
+    ops/pallas_march._march_camera_sky_kernel). `origin_idx` selects the
+    SMEM (x0, y0) global-pixel offset for the multi-chip tile path."""
     from relativisticraytracer_tpu.ops.pallas_march import _gen_tile_rays
 
     t, cam_pos, rd = _gen_tile_rays(scal_ref, width, height,
-                                    block_h, block_w, nbx)
+                                    block_h, block_w, nbx,
+                                    origin_idx=origin_idx)
     ca_eff = scal_ref[15]
 
     def make_state():
@@ -298,6 +301,7 @@ def _record_camera_sky_kernel(scene: SceneConfig, max_steps: int,
     static_argnames=(
         "scene", "width", "height", "max_steps", "sky_h", "sky_w",
         "block_h", "block_w", "unroll", "slots", "interpret",
+        "img_w", "img_h",
     ),
 )
 def march_pallas_camera_sky_record(
@@ -315,15 +319,25 @@ def march_pallas_camera_sky_record(
     unroll: int = 8,
     slots: int = SLOTS,
     interpret: bool = False,
+    img_w: int = None,
+    img_h: int = None,
+    origin=None,
 ):
     """The A pass. Returns lane-tile-layout planes:
 
       (hit, (idx_r, idx_g, idx_b), (fx_r...), (fy_r...),
        records) where records = tuple of `slots` tuples
       (px, py, pz, vx, vy, vz, length).
-    """
+
+    Multi-chip tile mode: `origin=(x0, y0)` (traced f32 scalars) marches
+    the (height, width) sub-rectangle whose top-left GLOBAL pixel is
+    (x0, y0) of an (img_h, img_w) frame — ray gen normalizes uv by the
+    full-image dims, so shard rays are bitwise the single-chip rays
+    (parallel/sharding.py)."""
     if (block_h * block_w) % 128:
         raise ValueError("block_h*block_w must be a multiple of 128")
+    if (origin is None) != (img_w is None or img_h is None):
+        raise ValueError("origin and img_w/img_h must be given together")
     hp = _round_up(height, block_h)
     wp = _round_up(width, block_w)
     nby, nbx = hp // block_h, wp // block_w
@@ -331,6 +345,16 @@ def march_pallas_camera_sky_record(
     tile_rows = (block_h * block_w) // 128
 
     scal = pack_camera_scalars(camera, effects, time)
+    origin_idx = None
+    gen_w, gen_h = width, height
+    if origin is not None:
+        origin_idx = scal.shape[0]
+        gen_w, gen_h = img_w, img_h
+        scal = jnp.concatenate([
+            scal,
+            jnp.asarray(origin[0], jnp.float32).reshape(1),
+            jnp.asarray(origin[1], jnp.float32).reshape(1),
+        ])
 
     tile_spec = pl.BlockSpec(
         (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -351,9 +375,10 @@ def march_pallas_camera_sky_record(
             for s in range(slots)
         )
         _record_camera_sky_kernel(
-            scene, max_steps, unroll, slots, width, height,
+            scene, max_steps, unroll, slots, gen_w, gen_h,
             block_h, block_w, nbx, sky_h, sky_w,
             scal_ref, hit_ref, idx_refs, fx_refs, fy_refs, rec_refs,
+            origin_idx=origin_idx,
         )
 
     avg_steps = max(1, max_steps // 3)
@@ -686,33 +711,35 @@ def media_replay_sorted(
 # --------------------------------------------------------------------------
 
 
-def render_frame_pallas_compact(
+def _compact_tile_rgba(
     scene: SceneConfig,
     settings: RenderSettings,
     camera,
     effects: CameraEffects,
     time,
-    sky: Optional[Skybox],
-    interpret: bool = False,
+    sky: Skybox,
+    w: int,
+    h: int,
+    interpret: bool,
+    origin=None,
+    img_w: int = None,
+    img_h: int = None,
 ) -> jnp.ndarray:
-    """render_frame_pallas with the segment-replay media pass. Exactly equal
-    to the inline path (bitwise when no ray exceeds SLOTS segments; within
-    1 ulp/step reassociation otherwise — still far inside the RMSE budget).
-    Requires a skybox and at least one enabled medium; other configs fall
-    back to the fused inline kernel."""
+    """uint8 RGBA for the (h, w) supersampled rectangle of the frame.
+
+    Single-chip: origin=None and (w, h) IS the frame. Multi-chip tile
+    (parallel/sharding.render_frame_sharded): origin=(x0, y0) traced
+    global-pixel offsets of this shard's rectangle inside the
+    (img_h, img_w) supersampled frame — ray gen, sky addressing, and the
+    vignette uv all use global coordinates, so the shard output is
+    bitwise the corresponding crop of the single-chip frame."""
     from relativisticraytracer_tpu.ops.pallas_march import (
         _from_lane_tiles,
         _to_lane_tiles,
         _uv_planes,
-        render_frame_pallas,
     )
 
-    if sky is None or not (scene.enable_disk or scene.enable_clouds):
-        return render_frame_pallas(scene, settings, camera, effects, time,
-                                   sky, interpret=interpret)
-
     ss = settings.supersample
-    w, h = settings.width * ss, settings.height * ss
     sky_h, sky_w = sky.shape
     hp, wp = _round_up(h, BLOCK_H), _round_up(w, BLOCK_W)
     max_steps = settings.resolved_max_steps(scene)
@@ -720,7 +747,7 @@ def render_frame_pallas_compact(
     hit, idx3, fx3, fy3, records = march_pallas_camera_sky_record(
         scene, camera, effects, jnp.asarray(time, jnp.float32),
         w, h, max_steps, sky_h, sky_w, slots=settings.media_slots,
-        interpret=interpret,
+        interpret=interpret, img_w=img_w, img_h=img_h, origin=origin,
     )
     if settings.media_sort:
         intensity, trans = media_replay_sorted(
@@ -744,7 +771,8 @@ def render_frame_pallas_compact(
         intensity.y + bg.y * trans,
         intensity.z + bg.z * trans,
     )
-    uv_x, uv_y = _uv_planes(w, h, effects)
+    uv_x, uv_y = _uv_planes(w, h, effects, origin=origin,
+                            img_w=img_w, img_h=img_h)
 
     def lanes(a):
         return _to_lane_tiles(
@@ -765,3 +793,29 @@ def render_frame_pallas_compact(
     word = pack_rgba8_word(ldr)
     word = _from_lane_tiles(word, hp, wp, BLOCK_H, BLOCK_W)[:h, :w]
     return word_to_rgba8(word)
+
+
+def render_frame_pallas_compact(
+    scene: SceneConfig,
+    settings: RenderSettings,
+    camera,
+    effects: CameraEffects,
+    time,
+    sky: Optional[Skybox],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """render_frame_pallas with the segment-replay media pass. Exactly equal
+    to the inline path (bitwise when no ray exceeds SLOTS segments; within
+    1 ulp/step reassociation otherwise — still far inside the RMSE budget).
+    Requires a skybox and at least one enabled medium; other configs fall
+    back to the fused inline kernel."""
+    from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
+
+    if sky is None or not (scene.enable_disk or scene.enable_clouds):
+        return render_frame_pallas(scene, settings, camera, effects, time,
+                                   sky, interpret=interpret)
+
+    ss = settings.supersample
+    w, h = settings.width * ss, settings.height * ss
+    return _compact_tile_rgba(scene, settings, camera, effects, time, sky,
+                              w, h, interpret)

@@ -192,11 +192,19 @@ def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
 
 
 def _gen_tile_rays(scal_ref, width: int, height: int,
-                   block_h: int, block_w: int, nbx: int):
+                   block_h: int, block_w: int, nbx: int,
+                   origin_idx: Optional[int] = None):
     """In-kernel primary-ray generation from the camera basis (SMEM scalars
     [0..14] = time, pos, fwd, right, up, use_ld, ld_k) and the tile's pixel
     coordinates. Semantics match render/camera.generate_rays exactly
-    (raymarcher.cu:20-34). Returns (t, cam_pos, rd)."""
+    (raymarcher.cu:20-34). Returns (t, cam_pos, rd).
+
+    `origin_idx`: when set, SMEM scalars [origin_idx, origin_idx+1] hold
+    the (x0, y0) GLOBAL pixel coordinates of this launch's top-left pixel
+    and `width`/`height` are the FULL image dims — the multi-chip tile
+    path, where each shard renders a sub-rectangle of the global frame.
+    Integer-valued f32 adds below 2^24 are exact, so shard rays are
+    bitwise the corresponding single-chip rays."""
     t = scal_ref[0]
     cam_pos = (scal_ref[1], scal_ref[2], scal_ref[3])
     fwd = (scal_ref[4], scal_ref[5], scal_ref[6])
@@ -216,6 +224,9 @@ def _gen_tile_rays(scal_ref, width: int, height: int,
     )
     px = (bx * block_w + lane % block_w).astype(jnp.float32)
     py = (by * block_h + lane // block_w).astype(jnp.float32)
+    if origin_idx is not None:
+        px = px + scal_ref[origin_idx]
+        py = py + scal_ref[origin_idx + 1]
 
     # division (not reciprocal-multiply) to match generate_rays bitwise
     uv_x = px / jnp.float32(width)
@@ -592,13 +603,25 @@ def march_pallas_camera_sky(
     return Vec3(ir, ig, ib), tr, idx3, fx3, fy3
 
 
-def _uv_planes(width: int, height: int, effects: CameraEffects):
+def _uv_planes(width: int, height: int, effects: CameraEffects,
+               origin=None, img_w: Optional[int] = None,
+               img_h: Optional[int] = None):
     """The (possibly distorted) uv planes for the vignette — same math as
-    generate_rays (raymarcher.cu:20-25) without the ray basis work."""
+    generate_rays (raymarcher.cu:20-25) without the ray basis work.
+
+    With `origin=(x0, y0)` (traced f32 scalars) the (height, width) planes
+    cover the sub-rectangle at that global offset of an (img_h, img_w)
+    frame — bitwise a slice of the full-frame planes (exact integer f32
+    adds, same divisions)."""
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
-    uv_x = jnp.broadcast_to(xs[None, :] / jnp.float32(width), (height, width))
-    uv_y = jnp.broadcast_to(ys[:, None] / jnp.float32(height), (height, width))
+    if origin is not None:
+        xs = xs + jnp.asarray(origin[0], jnp.float32)
+        ys = ys + jnp.asarray(origin[1], jnp.float32)
+    nw = jnp.float32(img_w if img_w is not None else width)
+    nh = jnp.float32(img_h if img_h is not None else height)
+    uv_x = jnp.broadcast_to(xs[None, :] / nw, (height, width))
+    uv_y = jnp.broadcast_to(ys[:, None] / nh, (height, width))
     dx, dy = apply_lens_distortion(uv_x, uv_y, effects.distortion_amount)
     on = effects.use_lens_distortion > 0.5
     return jnp.where(on, dx, uv_x), jnp.where(on, dy, uv_y)

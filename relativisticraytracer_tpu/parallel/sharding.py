@@ -11,6 +11,14 @@ analog of the reference's glReadPixels, main.cpp:89).
 A free win of this design: the march's all-rays-done `lax.while_loop` runs
 per device, so each chip exits as soon as ITS tile is finished — cross-chip
 divergence costs nothing until the host gathers.
+
+On the fast path (loop="pallas", media_pass="compact", sky + media on) each
+shard runs the FULL single-chip compact renderer — in-kernel ray gen from
+the camera scalars plus the shard's global pixel offset, segment
+record/replay media compaction, sorted replay, per-shard sky gather and
+epilogue — so N chips pay 1/N of the measured single-chip headline frame
+time. The shard output is bitwise the corresponding crop of the
+single-chip frame (tests/test_sharding.py).
 """
 
 from __future__ import annotations
@@ -84,13 +92,50 @@ def render_frame_sharded(
         )
     ss = settings.supersample
 
+    loop = settings.resolved_loop()
+
+    if (
+        loop == "pallas"
+        and settings.media_pass == "compact"
+        and sky is not None
+        and (scene.enable_disk or scene.enable_clouds)
+    ):
+        # The fast single-chip path, per shard: segment-record/replay media
+        # compaction + sorted replay (ops/pallas_compact). Each device
+        # generates ITS tile's rays in-kernel from the camera scalars plus
+        # its global pixel offset — no ray planes cross HBM, and the shard
+        # output is bitwise the corresponding crop of the single-chip
+        # frame (tested on the CPU mesh).
+        from relativisticraytracer_tpu.ops.pallas_compact import (
+            _compact_tile_rgba,
+        )
+
+        W, H = settings.width * ss, settings.height * ss
+        tw, th = W // nx, H // ny
+        interpret = jax.default_backend() != "tpu"
+
+        def compact_tile_fn(camera, effects, time, sky):
+            x0 = (jax.lax.axis_index(AXIS_COLS) * tw).astype(jnp.float32)
+            y0 = (jax.lax.axis_index(AXIS_ROWS) * th).astype(jnp.float32)
+            return _compact_tile_rgba(
+                scene, settings, camera, effects, time, sky, tw, th,
+                interpret, origin=(x0, y0), img_w=W, img_h=H,
+            )
+
+        sharded = jax.shard_map(
+            compact_tile_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(AXIS_ROWS, AXIS_COLS, None),
+            check_vma=False,
+        )
+        return sharded(camera, effects, time, sky)
+
     origin, direction, uv_x, uv_y = generate_rays(
         settings.width * ss, settings.height * ss, camera, effects
     )
 
     tile_spec = P(AXIS_ROWS, AXIS_COLS)
-
-    loop = settings.resolved_loop()
 
     def tile_fn(origin, direction, uv_x, uv_y, effects, time, sky):
         if loop == "pallas":

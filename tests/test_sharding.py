@@ -107,6 +107,40 @@ def test_sharded_pallas_matches_unsharded():
         np.testing.assert_array_equal(tiled, untiled)
 
 
+@pytest.mark.parametrize("shape,fx", [((4, 2), False), ((1, 8), True)])
+def test_sharded_compact_matches_single_chip(shape, fx):
+    """The per-shard segment-replay compact path (the fast single-chip
+    renderer, sharded) must be BITWISE the single-chip compact frame: ray
+    gen, sky addressing, and the vignette uv all run in global pixel
+    coordinates via the shard's SMEM (x0, y0) offset. fx=True turns on
+    lens distortion + chromatic aberration + vignette — the offset-
+    dependent uv paths."""
+    from relativisticraytracer_tpu.ops.pallas_compact import (
+        render_frame_pallas_compact,
+    )
+
+    scene = SceneConfig(max_steps=48)
+    settings = RenderSettings(width=128, height=64, max_steps=48,
+                              loop="pallas")
+    assert settings.media_pass == "compact"  # the default fast path
+    sky = skybox_from_array(procedural_starfield(32, 64))
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    eff = CameraEffects()
+    if fx:
+        eff = CameraEffects(
+            use_lens_distortion=1.0, distortion_amount=-0.15,
+            use_chromatic_aberration=1.0, ca_amount=0.004,
+            use_vignette=1.0,
+        )
+    mesh = make_mesh(shape=shape)
+    tiled = np.asarray(
+        render_frame_sharded(scene, settings, mesh, cam, eff, 1.0, sky)
+    )
+    untiled = np.asarray(render_frame_pallas_compact(
+        scene, settings, cam, eff, 1.0, sky, interpret=True))
+    np.testing.assert_array_equal(tiled, untiled)
+
+
 def test_sharded_supersample_matches_unsharded():
     scene, _, sky, cam, eff = _setup(w=64, h=48, steps=32)
     settings = RenderSettings(width=64, height=48, max_steps=32,
