@@ -93,6 +93,17 @@ from relativisticraytracer_tpu.render.skybox import (
 # crossings merge into the last slot (gap steps are replayed harmlessly).
 SLOTS = 3
 B_UNROLL = 4
+# Record-pass steps per while-loop iteration (commit-cond granularity).
+# The record body is lean (vacuum march + ~40-op recorder, no media
+# shading), so unlike the inline kernel (VMEM-spill cliff past 8) it keeps
+# winning to ~40-50: the per-block commit cond and loop check amortize
+# 5x while recorded replay steps stay EXACTLY flat (21.3M at the 1080p
+# headline pose for unroll 4..100 — lengths record actual media steps, not
+# blocks). Measured A-pass: 144.3 ms @8 -> 128.9 @40; past 80 the
+# all-done overshoot (< unroll wasted steps/tile) wins out
+# (docs/bench_record_unroll.json). Exactness is unroll-independent:
+# finished rays are masked no-ops and gap steps shade provable zeros.
+A_UNROLL = 40
 
 
 def _any(*xs):
@@ -316,7 +327,7 @@ def march_pallas_camera_sky_record(
     sky_w: int,
     block_h: int = BLOCK_H,
     block_w: int = BLOCK_W,
-    unroll: int = 8,
+    unroll: int = A_UNROLL,
     slots: int = SLOTS,
     interpret: bool = False,
     img_w: int = None,
