@@ -133,7 +133,12 @@ def cmd_anim(args):
             f"{len(paths)} paths (see the `paths` subcommand)"
         )
     path = paths[args.path_index]
-    r = _build_renderer(args)
+    r = _build_renderer(args)   # resolves preset/default width+height
+    if args.transfer == "yuv420p" and (args.width % 2 or args.height % 2):
+        raise SystemExit(
+            f"--transfer yuv420p needs even dimensions, got "
+            f"{args.width}x{args.height}"
+        )
     effects = effects_off() if args.no_effects else CameraEffects()
     job = AnimationJob(
         path=path, renderer=r, effects=effects, fps=args.fps,

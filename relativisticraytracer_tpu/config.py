@@ -87,6 +87,16 @@ class SceneConfig:
     # docs/precision_trades.json; None is bitwise reference semantics. ---
     noise_octave_cap: Optional[int] = None
 
+    def __post_init__(self):
+        # Validate at the source, not only in the CLI: a cap of 0 would
+        # run every fbm/ridge loop for zero iterations — the disk/cloud
+        # structure silently vanishes instead of erroring.
+        if self.noise_octave_cap is not None and self.noise_octave_cap < 1:
+            raise ValueError(
+                f"noise_octave_cap must be >= 1 or None, got "
+                f"{self.noise_octave_cap}"
+            )
+
     def octaves(self, n: int) -> int:
         """Effective octave count for a reference count of `n`."""
         return n if self.noise_octave_cap is None else min(n, self.noise_octave_cap)
@@ -209,6 +219,20 @@ class RenderSettings:
     # (docs/bench_replay_sorted.json).
     media_sort: bool = True
     media_capacity: int = 1 << 17
+
+    def __post_init__(self):
+        # A typo like media_pass="Compact" would otherwise silently select
+        # the inline kernel (~30% slower) with no error; media_slots < 1
+        # only fails much later as an opaque IndexError in the replay.
+        if self.media_pass not in ("compact", "inline"):
+            raise ValueError(
+                f"media_pass must be 'compact' or 'inline', got "
+                f"{self.media_pass!r}"
+            )
+        if self.media_slots < 1:
+            raise ValueError(
+                f"media_slots must be >= 1, got {self.media_slots}"
+            )
 
     def resolved_loop(self) -> str:
         if self.loop != "auto":

@@ -119,6 +119,23 @@ class FrameSequenceWriter:
         os.replace(tmp, target)
         self._next += 1
 
+    def truncate_to(self, n: int) -> int:
+        """Drop frames with index >= n and clamp the next-write index.
+
+        The PNG-sequence analog of SegmentedRecorder.truncate_to: a prior
+        run with a longer duration / higher fps may have left frames
+        beyond this run's count — after this, the directory holds exactly
+        frames [0, min(next, n)). Returns the clamped resume index."""
+        for f in self.dir.glob("frame_*.png"):
+            try:
+                idx = int(f.stem.split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            if idx >= n:
+                f.unlink()
+        self._next = min(self._next, n)
+        return self._next
+
     def stop(self) -> int:
         return self._next
 

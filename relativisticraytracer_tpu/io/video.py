@@ -56,8 +56,22 @@ def ffmpeg_command(width: int, height: int, fps: int, out_path: str,
 _PIX_FMTS = {"rgba": (4, 1, "rgba"), "yuv420p": (3, 2, "yuv")}
 
 
+def raw_extension(pix_fmt: str) -> str:
+    """File extension for raw (ffmpeg-less fallback) dumps of `pix_fmt`."""
+    return _PIX_FMTS[pix_fmt][2]
+
+
 def _frame_bytes(width: int, height: int, pix_fmt: str) -> int:
     num, den, _ = _PIX_FMTS[pix_fmt]
+    if den != 1 and (width % 2 or height % 2):
+        # Reject at recorder CONSTRUCTION (both recorders route through
+        # here), before any sink is opened or stale segments cleaned up —
+        # otherwise the mismatch only surfaces as a mid-run trace error
+        # from yuv420_from_rgba8 after destructive setup.
+        raise ValueError(
+            f"pix_fmt {pix_fmt!r} needs even dimensions, got "
+            f"{width}x{height}"
+        )
     return width * height * num // den
 
 
@@ -321,11 +335,17 @@ class VideoRecorder:
                 "height": self.height,
                 "fps": self.fps,
                 "pix_fmt": self.pix_fmt,
+                # quote the INPUT path like ffmpeg_command quotes the
+                # output one, and splice it at the single known "-i -"
+                # stdin marker (a blanket str.replace would also corrupt
+                # an output filename containing that substring)
                 "encode_with": ffmpeg_command(
                     self.width, self.height, self.fps,
                     str(pathlib.Path(self.out_path).with_suffix(".mp4")),
                     pix_fmt=self.pix_fmt,
-                ).replace("-i -", f'-i "{self.out_path}"'),
+                ).replace(
+                    "-i - ", f"-i {shlex.quote(self.out_path)} ", 1
+                ),
             }
             pathlib.Path(self.out_path).with_suffix(".json").write_text(
                 json.dumps(sidecar, indent=2)

@@ -337,16 +337,7 @@ class AnimationJob:
                 # A prior run with a longer duration / higher fps may have
                 # left frames beyond this run's count; drop them so the
                 # directory holds exactly the advertised sequence.
-                n = self.total_frames()
-                for f in seq.dir.glob("frame_*.png"):
-                    try:
-                        idx = int(f.stem.split("_")[1])
-                    except (IndexError, ValueError):
-                        continue
-                    if idx >= n:
-                        f.unlink()
-                start_frame = min(start_frame, n)
-                seq._next = start_frame
+                start_frame = seq.truncate_to(self.total_frames())
             return (seq.capture, lambda k: None, seq.stop, seq.abort,
                     self.out_path, start_frame)
 
@@ -380,10 +371,10 @@ class AnimationJob:
         # appends at the right frame instead of truncating finished work.
         start_frame = 0
         if resume and rec.raw_fallback and self.out_path is not None:
-            from relativisticraytracer_tpu.io.video import _PIX_FMTS
+            from relativisticraytracer_tpu.io.video import raw_extension
 
             raw_path = pathlib.Path(self.out_path).with_suffix(
-                "." + _PIX_FMTS[self.transfer][2])
+                "." + raw_extension(self.transfer))
             ckpt_probe = self._checkpoint_path(str(raw_path))
             if ckpt_probe.exists():
                 start_frame = json.loads(ckpt_probe.read_text()).get("next_frame", 0)

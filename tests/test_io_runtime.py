@@ -97,6 +97,30 @@ def test_video_recorder_raw_fallback(tmp_path, monkeypatch):
     assert "libx264" in sidecar["encode_with"]
 
 
+def test_sidecar_encode_command_quotes_hostile_paths(tmp_path, monkeypatch):
+    """The sidecar's encode_with is published for users to paste into a
+    shell: BOTH the spliced input path and the output path must be
+    shlex-quoted, or a path with $/quotes/spaces splits the command or
+    expands (review finding: the input splice used naked double quotes)."""
+    import shlex
+
+    monkeypatch.setattr(
+        "relativisticraytracer_tpu.io.video.ffmpeg_available", lambda: False
+    )
+    hostile = tmp_path / 'rec $1 "x".mp4'
+    rec = VideoRecorder(8, 4, out_path=str(hostile))
+    path = rec.start()
+    rec.capture(np.zeros((4, 8, 4), dtype=np.uint8))
+    rec.stop()
+    cmd = json.loads(
+        pathlib.Path(path).with_suffix(".json").read_text())["encode_with"]
+    words = shlex.split(cmd)
+    # the raw input path round-trips through shell tokenization intact
+    assert words[words.index("-i") + 1] == path
+    assert words[-1] == str(hostile)
+    assert '"' + path + '"' not in cmd  # no naked double-quoting
+
+
 def _tiny_renderer(width=16, height=12):
     scene = SceneConfig(max_steps=24)
     settings = RenderSettings(width=width, height=height, max_steps=24,

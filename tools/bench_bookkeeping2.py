@@ -24,7 +24,8 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-import time as _time
+from tools.benchlib import timeit_hard
+
 
 import jax
 import jax.numpy as jnp
@@ -35,17 +36,6 @@ ROW_CAP = 1024          # static row capacity (801 media rows measured)
 M = ROW_CAP * 128       # compact lane domain
 PLANES = 21             # 3 slots x (p0,v0 = 6) + 3 lens
 
-
-def timeit_hard(fn, reps=5):
-    np.asarray(jnp.sum(fn().ravel()[:8].astype(jnp.float32)))
-    best = []
-    for _ in range(3):
-        t0 = _time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        np.asarray(jnp.sum(out.ravel()[:8].astype(jnp.float32)))
-        best.append((_time.perf_counter() - t0) * 1000.0 / reps)
-    return float(np.median(best))
 
 
 def main():

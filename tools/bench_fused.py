@@ -7,23 +7,13 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-import time as _time
+from tools.benchlib import timeit_hard
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit_hard(fn, reps=5):
-    np.asarray(jnp.sum(fn().ravel()[:8].astype(jnp.float32)))
-    best = []
-    for _ in range(3):
-        t0 = _time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        np.asarray(jnp.sum(out.ravel()[:8].astype(jnp.float32)))
-        best.append((_time.perf_counter() - t0) * 1000.0 / reps)
-    return float(np.median(best))
 
 
 def main():

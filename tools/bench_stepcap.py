@@ -6,24 +6,14 @@ import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tools.benchlib import timeit_hard
 import sys
-import time as _time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit_hard(fn, reps=4):
-    np.asarray(jnp.sum(fn()))
-    best = []
-    for _ in range(3):
-        t0 = _time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        np.asarray(jnp.sum(out))
-        best.append((_time.perf_counter() - t0) * 1000.0 / reps)
-    return float(np.median(best))
 
 
 def main():
