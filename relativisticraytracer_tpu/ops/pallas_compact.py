@@ -104,6 +104,18 @@ B_UNROLL = 4
 # (docs/bench_record_unroll.json). Exactness is unroll-independent:
 # finished rays are masked no-ops and gap steps shade provable zeros.
 A_UNROLL = 40
+# Record-pass pixel-block height (x128 wide). The inline kernel's sweep
+# picked 32; the record kernel prefers 16 — half the max-over-lanes exit
+# divergence per tile and half the VMEM for its 31 record planes:
+# 129.0 (32) -> 126.4 (16) ms at the 1080p headline pose; 8 collapses to
+# 182 (per-block grid overhead), 64 to 165. Layout-only: per-ray values
+# are tile-independent, and the whole compact pipeline (padding, replay,
+# epilogue re-tile) keys off this constant.
+A_BLOCK_H = 16
+# Sorted-replay tile height: 36.0/34.6/41.1 ms at 16/32/64 lane-rows
+# (the sort makes tiles length-uniform, so taller tiles amortize grid
+# overhead without paying divergence — until 64 overshoots).
+B_ROWS_SORTED = 32
 
 
 def _any(*xs):
@@ -325,7 +337,7 @@ def march_pallas_camera_sky_record(
     max_steps: int,
     sky_h: int,
     sky_w: int,
-    block_h: int = BLOCK_H,
+    block_h: int = A_BLOCK_H,
     block_w: int = BLOCK_W,
     unroll: int = A_UNROLL,
     slots: int = SLOTS,
@@ -607,7 +619,7 @@ def media_replay_sorted(
     max_steps: int,
     slots: int = SLOTS,
     unroll: int = B_UNROLL,
-    b_rows: int = 16,
+    b_rows: int = B_ROWS_SORTED,
     dense_b_rows: int = 16,
     capacity: int = 1 << 17,
     interpret: bool = False,
@@ -752,7 +764,7 @@ def _compact_tile_rgba(
 
     ss = settings.supersample
     sky_h, sky_w = sky.shape
-    hp, wp = _round_up(h, BLOCK_H), _round_up(w, BLOCK_W)
+    hp, wp = _round_up(h, A_BLOCK_H), _round_up(w, BLOCK_W)
     max_steps = settings.resolved_max_steps(scene)
 
     hit, idx3, fx3, fy3, records = march_pallas_camera_sky_record(
@@ -788,7 +800,7 @@ def _compact_tile_rgba(
     def lanes(a):
         return _to_lane_tiles(
             jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge"),
-            BLOCK_H, BLOCK_W,
+            A_BLOCK_H, BLOCK_W,
         )
 
     ldr = apply_effects_and_tonemap(
@@ -796,13 +808,13 @@ def _compact_tile_rgba(
     )
     if ss != 1:
         def unlane(a):
-            return _from_lane_tiles(a, hp, wp, BLOCK_H, BLOCK_W)[:h, :w]
+            return _from_lane_tiles(a, hp, wp, A_BLOCK_H, BLOCK_W)[:h, :w]
 
         ldr = Vec3(unlane(ldr.x), unlane(ldr.y), unlane(ldr.z))
         return pack_rgba8(downsample_box(ldr, ss))
 
     word = pack_rgba8_word(ldr)
-    word = _from_lane_tiles(word, hp, wp, BLOCK_H, BLOCK_W)[:h, :w]
+    word = _from_lane_tiles(word, hp, wp, A_BLOCK_H, BLOCK_W)[:h, :w]
     return word_to_rgba8(word)
 
 
