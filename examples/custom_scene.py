@@ -4,7 +4,11 @@ disk, no dust clouds, chromatic aberration on, and a custom camera path.
 
 Every SceneConfig field mirrors the reference's include/config.h knob of
 the same name; changing one retraces the frame program (the reference
-requires a recompile — same contract)."""
+requires a recompile — same contract).
+
+RRT_EXAMPLE_SMOKE=1 shrinks the render so CI can execute this script."""
+
+import os
 
 from relativisticraytracer_tpu import (
     CameraEffects,
@@ -18,11 +22,14 @@ from relativisticraytracer_tpu.io.image import load_skybox, save_png
 from relativisticraytracer_tpu.paths import interpolate_path
 from relativisticraytracer_tpu.render.camera import camera_state_from_pose
 
+SMOKE = os.environ.get("RRT_EXAMPLE_SMOKE") == "1"
+
 scene = SceneConfig(
     spin_a=0.95,            # near-extremal frame dragging
     disk_h_m=1.2,           # thicker disk
     disk_luminosity=9.0,
     enable_clouds=False,
+    **({"max_steps": 16} if SMOKE else {}),
 )
 effects = CameraEffects(use_chromatic_aberration=1.0, ca_amount=0.004)
 
@@ -32,8 +39,15 @@ my_path = CameraPath("dive", [
     Keyframe(10.0, (18.0, 1.0, 8.0), -95.0, -2.0),
 ])
 
-renderer = Renderer(scene, RenderSettings(width=1280, height=720),
-                    skybox_rgba=load_skybox(None))
+renderer = Renderer(
+    scene,
+    RenderSettings(width=1280, height=720)
+    if not SMOKE
+    else RenderSettings(width=64, height=48, max_steps=16),
+    skybox_rgba=load_skybox(
+        None, fallback_shape=(1024, 2048) if not SMOKE else (32, 64)
+    ),
+)
 for t in (0.0, 5.0, 10.0):
     pos, yaw, pitch = interpolate_path(my_path, t)
     frame = renderer.render_np(camera_state_from_pose(pos, yaw, pitch), effects, t)

@@ -3,8 +3,12 @@
 after an interruption and it continues from the last flushed frame).
 
     python examples/render_animation.py [seconds]
+
+RRT_EXAMPLE_SMOKE=1 shrinks the job (64x48, 16 steps, 3 frames) so CI can
+execute it on a CPU backend.
 """
 
+import os
 import sys
 
 from relativisticraytracer_tpu import Renderer, RenderSettings, SceneConfig
@@ -12,12 +16,17 @@ from relativisticraytracer_tpu.io.image import load_skybox
 from relativisticraytracer_tpu.paths import default_paths
 from relativisticraytracer_tpu.runtime.app import AnimationJob
 
-duration = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
+SMOKE = os.environ.get("RRT_EXAMPLE_SMOKE") == "1"
+duration = float(sys.argv[1]) if len(sys.argv) > 1 else (5.0 if not SMOKE else 0.125)
 
 renderer = Renderer(
     SceneConfig(),
-    RenderSettings(width=1280, height=720),
-    skybox_rgba=load_skybox(None),
+    RenderSettings(width=1280, height=720)
+    if not SMOKE
+    else RenderSettings(width=64, height=48, max_steps=16),
+    skybox_rgba=load_skybox(
+        None, fallback_shape=(1024, 2048) if not SMOKE else (32, 64)
+    ),
 )
 job = AnimationJob(
     path=default_paths()[0],     # or build your own CameraPath from Keyframes

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 import pathlib
 import shlex
 import shutil
@@ -79,6 +80,16 @@ def timestamped_filename(prefix: str = "recording", ext: str = "mp4") -> str:
     """recording_YYYYmmdd_HHMMSS.mp4 (reference: main.cpp:36-50)."""
     now = datetime.datetime.now()
     return f"{prefix}_{now.strftime('%Y%m%d_%H%M%S')}.{ext}"
+
+
+def default_record_dir() -> pathlib.Path:
+    """Directory for AUTO-named recordings (explicit out_paths are used
+    verbatim). `RRT_RECORDING_DIR` overrides; the default is the current
+    directory, like the reference (main.cpp:36-50). Test/driver harnesses
+    set the env var so stray R-toggles don't litter the source tree."""
+    d = pathlib.Path(os.environ.get("RRT_RECORDING_DIR") or ".")
+    d.mkdir(parents=True, exist_ok=True)
+    return d
 
 
 def ffmpeg_available() -> bool:
@@ -293,7 +304,9 @@ class VideoRecorder:
         # the reference (main.cpp:36-57); an explicit out_path is reused.
         if self.raw_fallback:
             ext = _PIX_FMTS[self.pix_fmt][2]
-            self.out_path = self._user_out_path or timestamped_filename(ext=ext)
+            self.out_path = self._user_out_path or str(
+                default_record_dir() / timestamped_filename(ext=ext)
+            )
             if not self.out_path.endswith("." + ext):
                 self.out_path = str(
                     pathlib.Path(self.out_path).with_suffix("." + ext)
@@ -354,7 +367,9 @@ class VideoRecorder:
                 self.out_path, self.frame_bytes, mode="file", append=append
             )
         else:
-            self.out_path = self._user_out_path or timestamped_filename()
+            self.out_path = self._user_out_path or str(
+                default_record_dir() / timestamped_filename()
+            )
             cmd = ffmpeg_command(self.width, self.height, self.fps,
                                  self.out_path, pix_fmt=self.pix_fmt)
             self._sink = FrameSink(cmd, self.frame_bytes, mode="pipe")

@@ -94,6 +94,10 @@ class Session:
         # is_recording+capture pair must be atomic or a mid-frame stop
         # crashes capture() and kills the render loop.
         self._rec_lock = threading.Lock()
+        # ESC requests shutdown, like the reference's window-close path
+        # (main.cpp:303-305); the host loop (PreviewServer / terminal
+        # preview / CLI) observes this and tears down via close().
+        self.quit_requested = False
         self.sim_time = 0.0
         self.frame_count = 0
         self._fps_clock = _time.perf_counter()
@@ -129,6 +133,11 @@ class Session:
             self.effects = self.effects.replace(
                 use_chromatic_aberration=1.0 if on else 0.0
             )
+        elif key in ("escape", "esc"):
+            # ESC -> quit (key_callback, main.cpp:303-305). The recorder is
+            # stopped by close(), mirroring the reference's post-loop
+            # cleanup (main.cpp:531-532), not here.
+            self.quit_requested = True
         elif key in ("w", "a", "s", "d", "space", "shift"):
             self.camera.move(key)
             self._last_input = _time.perf_counter()

@@ -44,7 +44,8 @@ document.addEventListener('mousemove', (e) => {
     post(`/mouse?dx=${e.movementX}&dy=${e.movementY}`);
 });
 const KEYS = {'w':'w','a':'a','s':'s','d':'d',' ':'space','Shift':'shift',
-              'r':'r','p':'p','n':'n','b':'b','v':'v','l':'l','c':'c'};
+              'r':'r','p':'p','n':'n','b':'b','v':'v','l':'l','c':'c',
+              'Escape':'escape'};
 document.addEventListener('keydown', (e) => {
   const k = KEYS[e.key] ?? KEYS[e.key.toLowerCase()];
   if (k) { post(`/key?k=${k}`); e.preventDefault(); }
@@ -193,6 +194,13 @@ class PreviewServer:
         while not self._stop.is_set():
             now = _time.perf_counter()
             dt, last = now - last, now
+            if getattr(self.session, "quit_requested", False):
+                # ESC (main.cpp:303-305): end the loop; serve_until_interrupt
+                # (or the owner) runs the full stop()/close() teardown.
+                self._stop.set()
+                with self._cond:
+                    self._cond.notify_all()
+                return
             try:
                 frame = self.session.tick(dt)
                 buf = io.BytesIO()
@@ -235,8 +243,9 @@ class PreviewServer:
     def serve_until_interrupt(self) -> None:
         self.start()
         try:
-            while True:
-                _time.sleep(3600)
+            # wake on ESC-driven shutdown (session.quit_requested) too
+            while not self._stop.wait(timeout=1.0):
+                pass
         except KeyboardInterrupt:
             pass
         finally:
@@ -258,6 +267,8 @@ def run_terminal_preview(session: Session, frames: int = 0,
     last = _time.perf_counter()
     try:
         while frames == 0 or k < frames:
+            if session.quit_requested:  # ESC, main.cpp:303-305
+                break
             now = _time.perf_counter()
             dt, last = now - last, now
             frame = session.tick(dt)[..., :3].astype(np.int32)
