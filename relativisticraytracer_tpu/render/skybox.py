@@ -121,6 +121,17 @@ def sky_coords_from_uv(h: int, w: int, tx: jnp.ndarray, ty: jnp.ndarray):
     return yq * w + x0i, fx, fy
 
 
+def corner_bilinear(c00, c10, c01, c11, fx, fy) -> jnp.ndarray:
+    """Bilinear-filter four unpacked texel corners (f32 values 0..255) with
+    fractional weights (fx, fy). Normalized-float read (uint8/255). The ONE
+    definition of the filter expression — quad_bilinear and the windowed
+    Pallas gather (ops/pallas_sky.py) both route through it, so their
+    outputs are bitwise identical."""
+    top = c00 + fx * (c10 - c00)
+    bot = c01 + fx * (c11 - c01)
+    return (top + fy * (bot - top)) * jnp.float32(1.0 / 255.0)
+
+
 def quad_bilinear(t: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
     """Unpack one gathered uint32 quad (see Skybox) and bilinear-filter it
     with fractional weights (fx, fy). Normalized-float read (uint8/255)."""
@@ -128,9 +139,7 @@ def quad_bilinear(t: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarr
     c10 = ((t >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
     c01 = ((t >> 16) & jnp.uint32(0xFF)).astype(jnp.float32)
     c11 = (t >> 24).astype(jnp.float32)
-    top = c00 + fx * (c10 - c00)
-    bot = c01 + fx * (c11 - c01)
-    return (top + fy * (bot - top)) * jnp.float32(1.0 / 255.0)
+    return corner_bilinear(c00, c10, c01, c11, fx, fy)
 
 
 def sample_bilinear(tex: Skybox, tx: jnp.ndarray, ty: jnp.ndarray) -> Vec3:

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Sky-gather coherence census + windowed-gather feasibility (round 4).
+
+The q4 row-gather costs ~33 ms/frame at 1080p — an XLA per-gathered-slice
+property, two orders below HBM bandwidth for the 33 MB actually fetched
+(PERF.md). Escape directions are spatially smooth except near the photon
+ring, so a per-tile sky WINDOW (sub-rectangle DMA'd to VMEM) + an MXU
+one-hot gather can replace the row-gather for coherent tiles.
+
+This tool measures, on the real chip at the headline pose (plus stress
+poses):
+  1. per-tile (and per-sub-tile) sky-index bounding boxes — what window
+     caps (BR, BC) cover what fraction of tiles;
+  2. the current q4 row-gather stage time (the number to beat);
+  3. a synthetic Pallas one-hot window-gather kernel A/B at candidate
+     (sub-tile, BR, BC) shapes.
+
+Usage: python tools/bench_sky_window.py [--census-only]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tools.benchlib import timeit_hard_scalar
+
+
+def census(idx, hit, sky_w, tile_rows, out):
+    """Per-tile bbox stats for tiles of `tile_rows` lane rows x 128."""
+    n_rows = idx.shape[0]
+    t = n_rows // tile_rows
+    idxt = np.asarray(idx).reshape(t, tile_rows * 128)
+    hitt = np.asarray(hit).reshape(t, tile_rows * 128) > 0.5
+    y = idxt // sky_w
+    x = idxt % sky_w
+    # captured lanes don't contribute (their background is masked by T=0)
+    big = 1 << 30
+    ymin = np.where(hitt, big, y).min(1)
+    ymax = np.where(hitt, -big, y).max(1)
+    xmin = np.where(hitt, big, x).min(1)
+    xmax = np.where(hitt, -big, x).max(1)
+    all_cap = hitt.all(1)
+    dy = np.where(all_cap, 0, ymax - ymin + 1)
+    dx = np.where(all_cap, 0, xmax - xmin + 1)
+    stats = {
+        "tiles": int(t),
+        "tile_rows": tile_rows,
+        "all_captured": int(all_cap.sum()),
+        "dy_p50": float(np.percentile(dy, 50)),
+        "dy_p90": float(np.percentile(dy, 90)),
+        "dy_p99": float(np.percentile(dy, 99)),
+        "dx_p50": float(np.percentile(dx, 50)),
+        "dx_p90": float(np.percentile(dx, 90)),
+        "dx_p99": float(np.percentile(dx, 99)),
+    }
+    for br, bc in ((8, 128), (16, 128), (24, 128), (16, 256), (32, 256)):
+        fit = (dy <= br) & (dx <= bc)
+        stats[f"fit_{br}x{bc}"] = round(float(fit.mean()), 4)
+    out.update(stats)
+    return stats
+
+
+def frame_planes(pose, t):
+    """Record-pass planes at 1080p for `pose`."""
+    from relativisticraytracer_tpu.config import CameraEffects, SceneConfig
+    from relativisticraytracer_tpu.ops.pallas_compact import (
+        march_pallas_camera_sky_record,
+    )
+    from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+
+    scene = SceneConfig()
+    cam = camera_state_from_pose(*pose)
+    hit, idx3, fx3, fy3, records = jax.block_until_ready(
+        march_pallas_camera_sky_record(
+            scene, cam, CameraEffects(), jnp.float32(t),
+            1920, 1080, scene.max_steps, 2048, 4096,
+        )
+    )
+    return hit, idx3, fx3, fy3
+
+
+def bench_row_gather(sky, idx, fx, fy):
+    """Current production stage: q4 row-gather + quad_bilinear."""
+    from relativisticraytracer_tpu.render.skybox import quad_bilinear
+
+    @jax.jit
+    def f(idx, fx, fy):
+        t4 = jnp.take(sky.q4, idx, axis=0)
+        s = 0.0
+        for c in range(3):
+            s = s + jnp.sum(quad_bilinear(t4[..., c], fx, fy))
+        return s
+
+    return timeit_hard_scalar(lambda: f(idx, fx, fy))
+
+
+def bench_onehot_kernel(sky, idx, fx, fy, sub_rows, br, bc):
+    """Synthetic windowed one-hot gather over all tiles (origins
+    precomputed on host for the A/B; production computes them in XLA)."""
+    from relativisticraytracer_tpu.ops.pallas_sky import sky_window_gather
+
+    n_rows = idx.shape[0]
+    t = n_rows // sub_rows
+    idxn = np.asarray(idx).reshape(t, sub_rows * 128)
+    y = idxn // 4096
+    x = idxn % 4096
+    oy = np.clip(y.min(1), 0, 2049 - br)
+    ox = np.clip(x.min(1), 0, 4096 - bc)
+    origins = jnp.asarray(
+        np.stack([oy, ox], axis=1).astype(np.int32))
+
+    @jax.jit
+    def f(idx, origins):
+        tr, tg, tb = sky_window_gather(
+            sky, idx, origins, sub_rows=sub_rows, br=br, bc=bc)
+        return jnp.sum(tr >> 24) + jnp.sum(tg >> 24) + jnp.sum(tb >> 24)
+
+    return timeit_hard_scalar(lambda: f(idx, origins))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--census-only", action="store_true")
+    args = ap.parse_args()
+
+    from relativisticraytracer_tpu.render.skybox import (
+        procedural_starfield,
+        skybox_from_array,
+    )
+
+    out = {"poses": {}}
+    poses = {
+        "headline": (((0.0, 10.0, -60.0), 0.0, -10.0), 10.0),
+        "edge_on": (((0.0, 0.6, -40.0), 0.0, 0.0), 3.0),
+        "close_ring": (((0.0, 4.0, -24.0), 0.0, -8.0), 5.0),
+    }
+    sky = skybox_from_array(procedural_starfield(2048, 4096))
+    planes = {}
+    for name, (pose, t) in poses.items():
+        hit, idx3, fx3, fy3 = frame_planes(pose, t)
+        planes[name] = (hit, idx3[1], fx3[1], fy3[1])
+        p = {}
+        for tile_rows in (8, 16):
+            p[f"sub{tile_rows}"] = census(idx3[1], hit, 4096, tile_rows, {})
+        out["poses"][name] = p
+        print(name, json.dumps(p, indent=1))
+
+    if not args.census_only:
+        hit, idx, fx, fy = planes["headline"]
+        ms = bench_row_gather(sky, idx, fx, fy)
+        out["row_gather_ms"] = round(ms, 2)
+        print(f"q4 row-gather stage: {ms:.2f} ms")
+        for sub_rows, br, bc in ((8, 8, 128), (8, 16, 128), (16, 16, 128),
+                                 (16, 24, 128), (8, 16, 256)):
+            try:
+                ms = bench_onehot_kernel(sky, idx, fx, fy, sub_rows, br, bc)
+                key = f"onehot_sub{sub_rows}_{br}x{bc}_ms"
+                out[key] = round(ms, 2)
+                print(f"one-hot window sub={sub_rows} {br}x{bc}: {ms:.2f} ms")
+            except Exception as e:
+                print(f"one-hot sub={sub_rows} {br}x{bc} FAILED: {e!r}")
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "docs" / \
+        "sky_window.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
