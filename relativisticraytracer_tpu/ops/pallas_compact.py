@@ -283,16 +283,18 @@ def _record_camera_sky_kernel(scene: SceneConfig, max_steps: int,
                               sky_h: int, sky_w: int,
                               scal_ref, hit_ref,
                               idx_refs, fx_refs, fy_refs, rec_refs,
-                              origin_idx=None):
+                              origin_idx=None, strips=None, cstrips=None):
     """Record-pass kernel: in-kernel ray gen + vacuum march + segment
     recording + in-kernel sky addressing (same epilogue as
     ops/pallas_march._march_camera_sky_kernel). `origin_idx` selects the
-    SMEM (x0, y0) global-pixel offset for the multi-chip tile path."""
+    SMEM (x0, y0) global-pixel offset for the multi-chip tile path;
+    `strips` the optional strip-interleaved row map (_gen_tile_rays)."""
     from relativisticraytracer_tpu.ops.pallas_march import _gen_tile_rays
 
     t, cam_pos, rd = _gen_tile_rays(scal_ref, width, height,
                                     block_h, block_w, nbx,
-                                    origin_idx=origin_idx)
+                                    origin_idx=origin_idx, strips=strips,
+                                    cstrips=cstrips)
     ca_eff = scal_ref[15]
 
     def make_state():
@@ -324,7 +326,7 @@ def _record_camera_sky_kernel(scene: SceneConfig, max_steps: int,
     static_argnames=(
         "scene", "width", "height", "max_steps", "sky_h", "sky_w",
         "block_h", "block_w", "unroll", "slots", "interpret",
-        "img_w", "img_h",
+        "img_w", "img_h", "strips", "cstrips",
     ),
 )
 def march_pallas_camera_sky_record(
@@ -345,6 +347,8 @@ def march_pallas_camera_sky_record(
     img_w: int = None,
     img_h: int = None,
     origin=None,
+    strips=None,
+    cstrips=None,
 ):
     """The A pass. Returns lane-tile-layout planes:
 
@@ -401,7 +405,7 @@ def march_pallas_camera_sky_record(
             scene, max_steps, unroll, slots, gen_w, gen_h,
             block_h, block_w, nbx, sky_h, sky_w,
             scal_ref, hit_ref, idx_refs, fx_refs, fy_refs, rec_refs,
-            origin_idx=origin_idx,
+            origin_idx=origin_idx, strips=strips, cstrips=cstrips,
         )
 
     avg_steps = max(1, max_steps // 3)
@@ -747,6 +751,8 @@ def _compact_tile_rgba(
     origin=None,
     img_w: int = None,
     img_h: int = None,
+    strips=None,
+    cstrips=None,
 ) -> jnp.ndarray:
     """uint8 RGBA for the (h, w) supersampled rectangle of the frame.
 
@@ -755,7 +761,13 @@ def _compact_tile_rgba(
     global-pixel offsets of this shard's rectangle inside the
     (img_h, img_w) supersampled frame — ray gen, sky addressing, and the
     vignette uv all use global coordinates, so the shard output is
-    bitwise the corresponding crop of the single-chip frame."""
+    bitwise the corresponding crop of the single-chip frame.
+
+    `strips=(sh, ystride)` (static): strip-interleaved shard assignment —
+    local row r renders global row y0 + (r // sh) * ystride + r % sh, so
+    each device's rows are spread over the frame in strips of sh (load
+    balance; parallel/sharding.py). The output rows are in LOCAL order;
+    the host reassembles (sharding.reassemble_strips)."""
     from relativisticraytracer_tpu.ops.pallas_march import (
         _from_lane_tiles,
         _to_lane_tiles,
@@ -771,6 +783,7 @@ def _compact_tile_rgba(
         scene, camera, effects, jnp.asarray(time, jnp.float32),
         w, h, max_steps, sky_h, sky_w, slots=settings.media_slots,
         interpret=interpret, img_w=img_w, img_h=img_h, origin=origin,
+        strips=strips, cstrips=cstrips,
     )
     if settings.media_sort:
         intensity, trans = media_replay_sorted(
@@ -795,7 +808,8 @@ def _compact_tile_rgba(
         intensity.z + bg.z * trans,
     )
     uv_x, uv_y = _uv_planes(w, h, effects, origin=origin,
-                            img_w=img_w, img_h=img_h)
+                            img_w=img_w, img_h=img_h, strips=strips,
+                            cstrips=cstrips)
 
     def lanes(a):
         return _to_lane_tiles(

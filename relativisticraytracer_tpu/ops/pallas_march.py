@@ -27,7 +27,7 @@ XLA ops around the kernel.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -193,7 +193,9 @@ def _march_tile_kernel(scene: SceneConfig, max_steps: int, unroll: int,
 
 def _gen_tile_rays(scal_ref, width: int, height: int,
                    block_h: int, block_w: int, nbx: int,
-                   origin_idx: Optional[int] = None):
+                   origin_idx: Optional[int] = None,
+                   strips: Optional[Tuple[int, int]] = None,
+                   cstrips: Optional[Tuple[int, int]] = None):
     """In-kernel primary-ray generation from the camera basis (SMEM scalars
     [0..14] = time, pos, fwd, right, up, use_ld, ld_k) and the tile's pixel
     coordinates. Semantics match render/camera.generate_rays exactly
@@ -204,7 +206,16 @@ def _gen_tile_rays(scal_ref, width: int, height: int,
     and `width`/`height` are the FULL image dims — the multi-chip tile
     path, where each shard renders a sub-rectangle of the global frame.
     Integer-valued f32 adds below 2^24 are exact, so shard rays are
-    bitwise the corresponding single-chip rays."""
+    bitwise the corresponding single-chip rays.
+
+    `strips=(sh, ystride)`: strip-interleaved shard assignment
+    (parallel/sharding.py) — local row r maps to global row
+    y0 + (r // sh) * ystride + r % sh, so a shard's rows are spread
+    across the frame in strips of `sh` instead of one contiguous band
+    (the photon-ring rows no longer concentrate on one chip). Static
+    ints; contiguous assignment is strips=None (ystride == sh would be
+    the identity). `cstrips=(sw, xstride)` is the column analog. Only
+    meaningful together with `origin_idx`."""
     t = scal_ref[0]
     cam_pos = (scal_ref[1], scal_ref[2], scal_ref[3])
     fwd = (scal_ref[4], scal_ref[5], scal_ref[6])
@@ -222,8 +233,16 @@ def _gen_tile_rays(scal_ref, width: int, height: int,
         jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 128), 0) * 128
         + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 128), 1)
     )
-    px = (bx * block_w + lane % block_w).astype(jnp.float32)
-    py = (by * block_h + lane // block_w).astype(jnp.float32)
+    lx = bx * block_w + lane % block_w
+    ly = by * block_h + lane // block_w
+    if strips is not None:
+        sh, ystride = strips
+        ly = (ly // sh) * ystride + ly % sh
+    if cstrips is not None:
+        sw, xstride = cstrips
+        lx = (lx // sw) * xstride + lx % sw
+    px = lx.astype(jnp.float32)
+    py = ly.astype(jnp.float32)
     if origin_idx is not None:
         px = px + scal_ref[origin_idx]
         py = py + scal_ref[origin_idx + 1]
@@ -605,16 +624,28 @@ def march_pallas_camera_sky(
 
 def _uv_planes(width: int, height: int, effects: CameraEffects,
                origin=None, img_w: Optional[int] = None,
-               img_h: Optional[int] = None):
+               img_h: Optional[int] = None,
+               strips: Optional[Tuple[int, int]] = None,
+               cstrips: Optional[Tuple[int, int]] = None):
     """The (possibly distorted) uv planes for the vignette — same math as
     generate_rays (raymarcher.cu:20-25) without the ray basis work.
 
     With `origin=(x0, y0)` (traced f32 scalars) the (height, width) planes
     cover the sub-rectangle at that global offset of an (img_h, img_w)
     frame — bitwise a slice of the full-frame planes (exact integer f32
-    adds, same divisions)."""
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
+    adds, same divisions). `strips=(sh, ystride)` / `cstrips=(sw, xstride)`
+    apply the same local->global row/col maps as _gen_tile_rays for
+    strip-interleaved shards."""
+    xi = jnp.arange(width, dtype=jnp.int32)
+    yi = jnp.arange(height, dtype=jnp.int32)
+    if strips is not None:
+        sh, ystride = strips
+        yi = (yi // sh) * ystride + yi % sh
+    if cstrips is not None:
+        sw, xstride = cstrips
+        xi = (xi // sw) * xstride + xi % sw
+    xs = xi.astype(jnp.float32)
+    ys = yi.astype(jnp.float32)
     if origin is not None:
         xs = xs + jnp.asarray(origin[0], jnp.float32)
         ys = ys + jnp.asarray(origin[1], jnp.float32)

@@ -74,9 +74,11 @@ def _window_kernel(sub_rows: int, br: int, bc: int, mc: int,
     OUTSIDE the kernel (the caller runs the very same XLA quad_bilinear as
     the row-gather path) so FMA-contraction differences between Mosaic and
     XLA cannot introduce ulp drift — every op in here is exact integer
-    movement."""
-    oy = origins_ref[0, 0]
-    ox = origins_ref[0, 1]
+    movement. `origins_ref` is the scalar-prefetch (t, 2) window-corner
+    table (small SMEM blocks don't lower as regular inputs on TPU)."""
+    i = pl.program_id(0)
+    oy = origins_ref[i, 0]
+    ox = origins_ref[i, 1]
     copies = []
     for j, (src, dst) in enumerate(((qr_hbm, wr), (qg_hbm, wg),
                                     (qb_hbm, wb))):
@@ -177,7 +179,8 @@ def sky_window_gather(
     yl = y - oy
     xl = x - ox
 
-    tile = lambda i: (i, 0)  # noqa: E731
+    # with scalar prefetch, index maps receive (grid idx, scalar ref)
+    tile = lambda i, s: (i, 0)  # noqa: E731
     plane_spec = pl.BlockSpec((sub_rows, 128), tile, memory_space=pltpu.VMEM)
     ushape = jax.ShapeDtypeStruct((n_rows, 128), jnp.uint32)
     kernel = functools.partial(_window_kernel, sub_rows, br, bc, mc)
@@ -187,11 +190,10 @@ def sky_window_gather(
         bytes_accessed=int(t) * (br * bc * 12 + sub_rows * 128 * 28),
         transcendentals=0,
     )
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, 2), tile, memory_space=pltpu.SMEM),
             plane_spec,  # yl
             plane_spec,  # xl
             pl.BlockSpec(memory_space=pl.ANY),  # qr (HBM)
@@ -199,13 +201,17 @@ def sky_window_gather(
             pl.BlockSpec(memory_space=pl.ANY),  # qb
         ],
         out_specs=[plane_spec] * 3,
-        out_shape=[ushape] * 3,
         scratch_shapes=[
             pltpu.VMEM((br, bc), jnp.uint32),
             pltpu.VMEM((br, bc), jnp.uint32),
             pltpu.VMEM((br, bc), jnp.uint32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[ushape] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

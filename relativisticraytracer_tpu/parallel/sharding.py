@@ -55,6 +55,62 @@ def _factor2(n: int) -> Tuple[int, int]:
     return best
 
 
+def strip_height(extent: int, n: int, ss: int = 1, target: int = 16) -> int:
+    """Strip size for interleaved shard assignment along one image axis.
+
+    The march's lane-steps concentrate in the photon-ring tiles at the
+    image center (docs/media_fire.json), so contiguous rectangles load the
+    center shards with most of the frame's work — the frame time is the
+    MAX over shards (docs/shard_balance.json). Interleaving spreads each
+    shard's rows across the frame in strips: shard i of n takes strips
+    i, i+n, i+2n, ... of `strip` rows each.
+
+    Picks the divisor of extent//n closest to `target` (ties to the
+    smaller: more strips = better balance) that is a multiple of `ss`
+    (supersampling boxes must not straddle strips). `target`=16 matches
+    the record kernel's block height — one strip per grid block keeps
+    in-kernel ray-gen locality without costing balance."""
+    per = extent // n
+    if extent % n:
+        raise ValueError(f"extent {extent} not divisible by {n} shards")
+    cands = [d for d in range(1, per)
+             if per % d == 0 and d % ss == 0]
+    if not cands:
+        # no proper strip divides: degenerate (sh == per) = contiguous
+        if per % ss:
+            raise ValueError(f"no strip size divides {per} with ss={ss}")
+        return per
+    return min(cands, key=lambda d: (abs(d - target), d))
+
+
+def reassemble_strips(
+    frame: np.ndarray, ny: int, nx: int, sh: int, sw: int
+) -> np.ndarray:
+    """Undo the strip-interleaved shard layout on the host.
+
+    `frame` is the gathered (H, W, C) output of the interleaved sharded
+    renderer: device (i, j)'s tile sits at block (i, j), and its local
+    row r holds global row (r // sh * ny + i) * sh + r % sh (columns
+    analogous with sw/nx; sw=0 or nx=1 means contiguous columns). A pure
+    permutation — the TPU-side program stays collective-free; this is
+    host work on the already-transferred frame (the analog of the
+    reference's glReadPixels-side handling, src/main.cpp:89)."""
+    h, w = frame.shape[:2]
+    rest = frame.shape[2:]
+    out = frame
+    if ny > 1 and sh:
+        kr = h // ny // sh
+        out = out.reshape(ny, kr, sh, w, *rest)
+        out = out.transpose(1, 0, 2, *range(3, out.ndim))
+        out = out.reshape(h, w, *rest)
+    if nx > 1 and sw:
+        kc = w // nx // sw
+        out = out.reshape(h, nx, kc, sw, *rest)
+        out = out.transpose(0, 2, 1, *range(3, out.ndim))
+        out = out.reshape(h, w, *rest)
+    return out
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     shape: Optional[Tuple[int, int]] = None,
@@ -77,6 +133,7 @@ def render_frame_sharded(
     effects: CameraEffects,
     time,
     sky: Optional[Skybox],
+    interleave: bool = False,
 ) -> jnp.ndarray:
     """Render one frame with the image tiled over `mesh`.
 
@@ -84,6 +141,14 @@ def render_frame_sharded(
     heavy march + shading runs inside shard_map on each device's tile.
     Height/width must divide by the mesh rows/cols. Returns the sharded
     uint8[H, W, 4] frame; tiled == untiled bit-for-bit (tested).
+
+    `interleave=True` (compact fast path only): strip-interleaved shard
+    assignment — each device renders strips spread across the whole frame
+    instead of one contiguous rectangle, so the photon-ring/media rows at
+    the image center are split evenly over devices (measured max/mean
+    shard imbalance in docs/shard_balance.json motivates this). The
+    returned array is in the DEVICE layout; undo it on the host with
+    `reassemble_strips(frame, *interleave_params(settings, mesh))`.
     """
     ny, nx = mesh.devices.shape
     if settings.height % ny or settings.width % nx:
@@ -94,12 +159,19 @@ def render_frame_sharded(
 
     loop = settings.resolved_loop()
 
-    if (
+    compact_ok = (
         loop == "pallas"
         and settings.media_pass == "compact"
         and sky is not None
         and (scene.enable_disk or scene.enable_clouds)
-    ):
+    )
+    if interleave and not compact_ok:
+        raise ValueError(
+            "interleave=True requires the compact fast path "
+            "(loop='pallas', media_pass='compact', sky + media enabled)"
+        )
+
+    if compact_ok:
         # The fast single-chip path, per shard: segment-record/replay media
         # compaction + sorted replay (ops/pallas_compact). Each device
         # generates ITS tile's rays in-kernel from the camera scalars plus
@@ -113,13 +185,26 @@ def render_frame_sharded(
         W, H = settings.width * ss, settings.height * ss
         tw, th = W // nx, H // ny
         interpret = jax.default_backend() != "tpu"
+        strips = cstrips = None
+        oy_step, ox_step = th, tw
+        if interleave:
+            sh, sw = _interleave_strips_ss(H, W, ny, nx, ss)
+            if sh:
+                strips = (sh, ny * sh)
+                oy_step = sh
+            if sw:
+                cstrips = (sw, nx * sw)
+                ox_step = sw
 
         def compact_tile_fn(camera, effects, time, sky):
-            x0 = (jax.lax.axis_index(AXIS_COLS) * tw).astype(jnp.float32)
-            y0 = (jax.lax.axis_index(AXIS_ROWS) * th).astype(jnp.float32)
+            x0 = (jax.lax.axis_index(AXIS_COLS) * ox_step).astype(
+                jnp.float32)
+            y0 = (jax.lax.axis_index(AXIS_ROWS) * oy_step).astype(
+                jnp.float32)
             return _compact_tile_rgba(
                 scene, settings, camera, effects, time, sky, tw, th,
                 interpret, origin=(x0, y0), img_w=W, img_h=H,
+                strips=strips, cstrips=cstrips,
             )
 
         sharded = jax.shard_map(
@@ -195,14 +280,52 @@ def render_frame_sharded(
     return sharded(origin, direction, uv_x, uv_y, effects, time, sky)
 
 
+def _interleave_strips_ss(H: int, W: int, ny: int, nx: int, ss: int):
+    """(sh, sw) strip sizes in SUPERSAMPLED pixels for an interleaved
+    (ny, nx) mesh over an (H, W) supersampled frame. Columns interleave
+    only for nx > 2: a centered scene splits evenly over two contiguous
+    halves (the ring is x-symmetric about the image center), and wider
+    strips keep the record kernel's 128-lane blocks intact."""
+    sh = strip_height(H, ny, ss=ss) if ny > 1 else 0
+    sw = strip_height(W, nx, ss=ss, target=128) if nx > 2 else 0
+    return sh, sw
+
+
+def interleave_params(settings: RenderSettings, mesh: Mesh):
+    """(ny, nx, sh_out, sw_out) for reassemble_strips, in OUTPUT pixels
+    (post-supersample) — pass the gathered frame through
+    reassemble_strips(frame, *interleave_params(...)) to restore image
+    order."""
+    ny, nx = mesh.devices.shape
+    ss = settings.supersample
+    H, W = settings.height * ss, settings.width * ss
+    sh, sw = _interleave_strips_ss(H, W, ny, nx, ss)
+    return ny, nx, sh // ss, sw // ss
+
+
 def make_sharded_renderer(
     scene: SceneConfig,
     settings: RenderSettings,
     mesh: Mesh,
+    interleave: bool = False,
 ):
     """jit-compiled sharded frame function (camera, effects, time, sky) ->
-    uint8[H, W, 4]."""
+    uint8[H, W, 4]. With `interleave=True` the result is in device-strip
+    layout; the returned function carries a `.reassemble(frame)` host
+    helper (numpy) restoring image order."""
     def fn(camera, effects, time, sky):
-        return render_frame_sharded(scene, settings, mesh, camera, effects, time, sky)
+        return render_frame_sharded(scene, settings, mesh, camera, effects,
+                                    time, sky, interleave=interleave)
 
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    if interleave:
+        params = interleave_params(settings, mesh)
+
+        def reassemble(frame):
+            return reassemble_strips(np.asarray(frame), *params)
+    else:
+        def reassemble(frame):
+            return np.asarray(frame)
+
+    jitted.reassemble = reassemble
+    return jitted

@@ -152,3 +152,70 @@ def test_sharded_supersample_matches_unsharded():
     untiled = np.asarray(render_frame(scene, settings, cam, eff, 1.0, sky))
     assert tiled.shape == (48, 64, 4)
     np.testing.assert_array_equal(tiled, untiled)
+
+
+@pytest.mark.parametrize(
+    "shape,fx,ss",
+    [((4, 2), False, 1), ((2, 4), True, 1), ((8, 1), False, 1),
+     ((4, 2), False, 2)],
+)
+def test_interleaved_compact_matches_single_chip(shape, fx, ss):
+    """Strip-interleaved shard assignment (load balance, VERDICT r3 #2):
+    each device renders strips spread across the frame; host reassembly
+    must be BITWISE the single-chip compact frame — including the
+    offset-dependent uv paths (lens distortion/CA/vignette) and
+    supersampling (strips are multiples of ss)."""
+    from relativisticraytracer_tpu.ops.pallas_compact import (
+        render_frame_pallas_compact,
+    )
+    from relativisticraytracer_tpu.parallel.sharding import (
+        interleave_params,
+        reassemble_strips,
+    )
+
+    scene = SceneConfig(max_steps=48)
+    settings = RenderSettings(width=128, height=64, max_steps=48,
+                              loop="pallas", supersample=ss)
+    sky = skybox_from_array(procedural_starfield(32, 64))
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    eff = CameraEffects()
+    if fx:
+        eff = CameraEffects(
+            use_lens_distortion=1.0, distortion_amount=-0.15,
+            use_chromatic_aberration=1.0, ca_amount=0.004,
+            use_vignette=1.0,
+        )
+    mesh = make_mesh(shape=shape)
+    dev_layout = np.asarray(render_frame_sharded(
+        scene, settings, mesh, cam, eff, 1.0, sky, interleave=True))
+    tiled = reassemble_strips(dev_layout, *interleave_params(settings, mesh))
+    untiled = np.asarray(render_frame_pallas_compact(
+        scene, settings, cam, eff, 1.0, sky, interpret=True))
+    np.testing.assert_array_equal(tiled, untiled)
+
+
+def test_interleaved_renderer_reassemble_helper():
+    scene = SceneConfig(max_steps=32)
+    settings = RenderSettings(width=128, height=64, max_steps=32,
+                              loop="pallas")
+    sky = skybox_from_array(procedural_starfield(32, 64))
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    eff = CameraEffects()
+    mesh = make_mesh(shape=(4, 2))
+    from relativisticraytracer_tpu.ops.pallas_compact import (
+        render_frame_pallas_compact,
+    )
+
+    fn = make_sharded_renderer(scene, settings, mesh, interleave=True)
+    out = fn.reassemble(fn(cam, eff, 1.0, sky))
+    untiled = np.asarray(render_frame_pallas_compact(
+        scene, settings, cam, eff, 1.0, sky, interpret=True))
+    np.testing.assert_array_equal(out, untiled)
+
+
+def test_interleave_requires_compact_path():
+    scene, settings, sky, cam, eff = _setup()  # loop="while"
+    mesh = make_mesh(shape=(4, 2))
+    with pytest.raises(ValueError):
+        render_frame_sharded(scene, settings, mesh, cam, eff, 0.0, sky,
+                             interleave=True)

@@ -18,6 +18,12 @@ import time as _time
 import jax.numpy as jnp
 import numpy as np
 
+# Every bench tool pays first-compile on a single-core host; share the
+# CLI's persistent XLA compile cache (see __main__._enable_compile_cache).
+from relativisticraytracer_tpu.__main__ import _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def timeit_hard(fn, reps: int = 5) -> float:
     """ms per call of `fn` (returns a device array), hard-synced.
