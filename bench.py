@@ -42,30 +42,36 @@ def parity_gate(loop: str) -> dict:
     # kernel's code paths; the 192x108 off-axis and 512^2 frames are the
     # production-shape insurance (VERDICT r2 #5) — resolution-dependent
     # Mosaic issues (tile padding, lane index math at large extents) would
-    # pass every 64x48-only gate.
+    # pass every 64x48-only gate. full_budget_192x108 runs the PRODUCTION
+    # 2000-step cap (VERDICT r3 #5): the unroll-40 record while-loop runs
+    # 50 blocks deep there vs 10 at the 400-step cases — a step-cap-
+    # dependent Mosaic issue would pass every 400-step gate.
     pose = ((0.0, 5.0, -38.0), 0.0, -6.0)
     cases = [
         ("schwarzschild_vacuum",
          dict(enable_disk=False, enable_clouds=False), False,
-         (64, 48), pose, 2.0),
+         (64, 48), pose, 2.0, 400),
         ("kerr09_vacuum",
          dict(enable_disk=False, enable_clouds=False, spin_a=0.9), False,
-         (64, 48), pose, 2.0),
-        ("disk_only", dict(enable_clouds=False), False, (64, 48), pose, 2.0),
-        ("full_scene_fx", dict(), True, (64, 48), pose, 2.0),
+         (64, 48), pose, 2.0, 400),
+        ("disk_only", dict(enable_clouds=False), False, (64, 48), pose,
+         2.0, 400),
+        ("full_scene_fx", dict(), True, (64, 48), pose, 2.0, 400),
         ("offaxis_full_192x108", dict(), True, (192, 108),
-         ((-18.0, -5.0, -38.0), 18.0, 4.0), 7.0),
-        ("full_scene_512", dict(), True, (512, 512), pose, 2.0),
+         ((-18.0, -5.0, -38.0), 18.0, 4.0), 7.0, 400),
+        ("full_scene_512", dict(), True, (512, 512), pose, 2.0, 400),
+        ("full_budget_192x108", dict(), True, (192, 108),
+         ((0.0, 10.0, -60.0), 0.0, -10.0), 10.0, 2000),
     ]
     sky = procedural_starfield(64, 128)
     out = {"pass": True, "cases": {}}
-    for name, scene_kw, effects_on, (w, h), case_pose, t in cases:
+    for name, scene_kw, effects_on, (w, h), case_pose, t, steps in cases:
         golden_path = GOLDEN_DIR / f"{name}.npy"
         if not golden_path.exists():
             continue
         cam = camera_state_from_pose(*case_pose)
-        scene = SceneConfig(max_steps=400, **scene_kw)
-        settings = RenderSettings(width=w, height=h, max_steps=400,
+        scene = SceneConfig(max_steps=steps, **scene_kw)
+        settings = RenderSettings(width=w, height=h, max_steps=steps,
                                   loop=loop)
         r = Renderer(scene, settings, skybox_rgba=sky)
         effects = CameraEffects() if effects_on else effects_off()
@@ -77,6 +83,51 @@ def parity_gate(loop: str) -> dict:
         if rmse >= 1e-3:
             out["pass"] = False
     return out
+
+
+def march_mfu(scene, camera, effects, frames: int = 5) -> dict:
+    """MFU-style march regression number (VERDICT r3 #5): time the A record
+    pass alone at the headline pose and report lane-steps/s against the
+    measured VPU-issue roofline (docs/roofline.json; tools/vpu_roofline.py).
+    100% = the demand model's LOW bound (265 jaxpr ops/lane-step at the
+    measured mul+add pairing) — the kernel has measured at/above it since
+    round 3 (Mosaic folds below the jaxpr op count), so a regression below
+    ~95% flags real lost march throughput."""
+    import time as t_
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from relativisticraytracer_tpu.ops.pallas_compact import (
+        march_pallas_camera_sky_record,
+    )
+
+    docs = pathlib.Path(__file__).resolve().parent / "docs"
+    roofline, fire = {}, {}
+    if (docs / "roofline.json").exists():
+        roofline = json.loads((docs / "roofline.json").read_text())
+    if (docs / "media_fire.json").exists():
+        fire = json.loads((docs / "media_fire.json").read_text())
+    # mandated lane-steps at the shipped A_BLOCK_H=16 block shape
+    lane_steps = fire.get("march_lane_steps", {}).get("16x128", 2172405760)
+    floor_ms = roofline.get("vacuum_issue_floor_ms", [136.5, 162.8])[0]
+
+    def a_pass(t):
+        outs = march_pallas_camera_sky_record(
+            scene, camera, effects, jnp.float32(t), 1920, 1080,
+            scene.max_steps, 2048, 4096)
+        return outs[0]
+
+    np.asarray(jnp.sum(a_pass(1.0)[:2, :8]))  # compile + sync
+    t0 = t_.perf_counter()
+    outs = [a_pass(10.0 + i / 24.0) for i in range(frames)]
+    np.asarray(jnp.sum(outs[-1][:2, :8]))
+    a_ms = (t_.perf_counter() - t0) * 1000.0 / frames
+    return {
+        "march_ms": round(a_ms, 2),
+        "lane_steps_per_s": round(lane_steps / (a_ms / 1000.0) / 1e9, 2),
+        "pct_of_issue_model": round(100.0 * floor_ms / a_ms, 1),
+    }
 
 
 def main():
@@ -165,6 +216,14 @@ def main():
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / thr_ms, 4),
     }
+
+    if (not args.small and settings.resolved_loop() == "pallas"
+            and platform == "tpu"):
+        try:
+            result["march"] = march_mfu(scene, camera, effects,
+                                        frames=args.frames)
+        except Exception as e:  # regression metric only — never fatal
+            print(f"# march MFU probe failed: {e!r}", file=sys.stderr)
 
     if not args.no_parity:
         gate = parity_gate(settings.resolved_loop())

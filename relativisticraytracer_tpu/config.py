@@ -219,6 +219,13 @@ class RenderSettings:
     # (docs/bench_replay_sorted.json).
     media_sort: bool = True
     media_capacity: int = 1 << 17
+    # Sky background fetch on the compact Pallas path: "rows" = the q4
+    # row-gather (one XLA gathered slice per lane, ~33 ms at 1080p);
+    # "windowed" = per-sub-tile sky-window DMA + MXU one-hot quad fetch
+    # with the row-gather compacted onto incoherent sub-tiles
+    # (ops/pallas_sky.py; bitwise-equal composited frames). Ignored off
+    # the compact path.
+    sky_gather: str = "rows"
 
     def __post_init__(self):
         # A typo like media_pass="Compact" would otherwise silently select
@@ -232,6 +239,11 @@ class RenderSettings:
         if self.media_slots < 1:
             raise ValueError(
                 f"media_slots must be >= 1, got {self.media_slots}"
+            )
+        if self.sky_gather not in ("rows", "windowed"):
+            raise ValueError(
+                f"sky_gather must be 'rows' or 'windowed', got "
+                f"{self.sky_gather!r}"
             )
 
     def resolved_loop(self) -> str:

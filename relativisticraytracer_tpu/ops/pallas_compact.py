@@ -801,7 +801,17 @@ def _compact_tile_rgba(
     # about captures, so the mask applies here.
     trans = jnp.where(hit > 0.5, jnp.float32(0.0), trans)
 
-    bg = gather_sky_coords(sky, tuple(zip(idx3, fx3, fy3)), effects)
+    if settings.sky_gather == "windowed":
+        from relativisticraytracer_tpu.ops.pallas_sky import (
+            sky_background_windowed,
+        )
+
+        bg = sky_background_windowed(
+            sky, tuple(zip(idx3, fx3, fy3)), effects,
+            masked=hit > 0.5, interpret=interpret,
+        )
+    else:
+        bg = gather_sky_coords(sky, tuple(zip(idx3, fx3, fy3)), effects)
     hdr = Vec3(
         intensity.x + bg.x * trans,
         intensity.y + bg.y * trans,

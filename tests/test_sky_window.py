@@ -152,3 +152,26 @@ def test_window_gather_kernel_direct(rng):
     for plane, out in ((sky.qr, tr), (sky.qg, tg), (sky.qb, tb)):
         want = jnp.take(plane.reshape(-1), idx)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_full_frame_windowed_equals_rows():
+    """End-to-end compact frame with sky_gather='windowed' must be BITWISE
+    the production 'rows' frame (the windowed path is wired at
+    ops/pallas_compact._compact_tile_rgba)."""
+    from relativisticraytracer_tpu.config import RenderSettings, SceneConfig
+    from relativisticraytracer_tpu.ops.pallas_compact import (
+        render_frame_pallas_compact,
+    )
+    from relativisticraytracer_tpu.render.camera import camera_state_from_pose
+
+    scene = SceneConfig(max_steps=48)
+    cam = camera_state_from_pose((0.0, 5.0, -38.0), 0.0, -6.0)
+    sky = _sky()
+    eff = CameraEffects()
+    frames = {}
+    for mode in ("rows", "windowed"):
+        settings = RenderSettings(width=128, height=64, max_steps=48,
+                                  loop="pallas", sky_gather=mode)
+        frames[mode] = np.asarray(render_frame_pallas_compact(
+            scene, settings, cam, eff, 1.0, sky, interpret=True))
+    np.testing.assert_array_equal(frames["windowed"], frames["rows"])

@@ -28,32 +28,38 @@ from relativisticraytracer_tpu.render.skybox import procedural_starfield  # noqa
 
 GOLDEN_DIR = pathlib.Path(__file__).resolve().parents[1] / "tests" / "goldens"
 
-# (name, scene_kw, effects_on, (w, h), pose, time). The two big cases are
-# the chip-gate insurance VERDICT r2 #5 asked for: nothing at >=192x108 or
-# >=512^2 had ever been pixel-checked ON the TPU — resolution-dependent
-# Mosaic issues (tile padding, lane index math at production extents) would
-# pass every 64x48 gate. The off-axis pose matches the compiled-reference
-# frame gate (tests/test_reference_native_parity.py, larger_offaxis case).
+# (name, scene_kw, effects_on, (w, h), pose, time, max_steps). The two big
+# cases are the chip-gate insurance VERDICT r2 #5 asked for: nothing at
+# >=192x108 or >=512^2 had ever been pixel-checked ON the TPU —
+# resolution-dependent Mosaic issues (tile padding, lane index math at
+# production extents) would pass every 64x48 gate. The off-axis pose
+# matches the compiled-reference frame gate
+# (tests/test_reference_native_parity.py, larger_offaxis case).
+# full_budget_192x108 is the VERDICT r3 #5 gate: the production 2000-step
+# cap exercises the unroll-40 record while-loop 50 blocks deep — every
+# other case stops at 400 steps (10 blocks), so a step-cap-dependent
+# Mosaic issue would pass them all.
 DEFAULT_POSE = ((0.0, 5.0, -38.0), 0.0, -6.0)
 CASES = [
     ("schwarzschild_vacuum", dict(enable_disk=False, enable_clouds=False),
-     False, (64, 48), DEFAULT_POSE, 2.0),
+     False, (64, 48), DEFAULT_POSE, 2.0, 400),
     ("kerr09_vacuum", dict(enable_disk=False, enable_clouds=False, spin_a=0.9),
-     False, (64, 48), DEFAULT_POSE, 2.0),
+     False, (64, 48), DEFAULT_POSE, 2.0, 400),
     ("disk_only", dict(enable_clouds=False), False, (64, 48),
-     DEFAULT_POSE, 2.0),
-    ("full_scene_fx", dict(), True, (64, 48), DEFAULT_POSE, 2.0),
+     DEFAULT_POSE, 2.0, 400),
+    ("full_scene_fx", dict(), True, (64, 48), DEFAULT_POSE, 2.0, 400),
     ("offaxis_full_192x108", dict(), True, (192, 108),
-     ((-18.0, -5.0, -38.0), 18.0, 4.0), 7.0),
-    ("full_scene_512", dict(), True, (512, 512), DEFAULT_POSE, 2.0),
+     ((-18.0, -5.0, -38.0), 18.0, 4.0), 7.0, 400),
+    ("full_scene_512", dict(), True, (512, 512), DEFAULT_POSE, 2.0, 400),
+    ("full_budget_192x108", dict(), True, (192, 108),
+     ((0.0, 10.0, -60.0), 0.0, -10.0), 10.0, 2000),
 ]
 
 
 def main(only=None):
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     sky = procedural_starfield(64, 128)
-    steps = 400
-    for name, scene_kw, effects_on, (w, h), pose, t in CASES:
+    for name, scene_kw, effects_on, (w, h), pose, t, steps in CASES:
         if only and name not in only:
             continue
         cam = camera_state_from_pose(*pose)
