@@ -49,11 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 from relativisticraytracer_tpu.render.skybox import Skybox, quad_bilinear
 
 # Sub-tile height (lane rows of 128 px) sharing one sky window, and the
-# window size in texels. Defaults from the round-4 census + A/B sweep
-# (tools/bench_sky_window.py, docs/sky_window.json).
+# window size in texels. Window ORIGINS are aligned to the (8, 128) i32
+# HBM tile grid (Mosaic DMA slices must start on tile boundaries), so a
+# sub-tile fits when its bbox fits the window MINUS the alignment slop
+# (up to 7 rows / 127 cols) — hence the window is a full lane-tile wide.
+# Defaults from the round-4 census + A/B sweep (tools/bench_sky_window.py,
+# docs/sky_window.json).
 SUB_ROWS = 8
-WIN_BR = 16
-WIN_BC = 128
+WIN_BR = 32
+WIN_BC = 256
 # One-hot matmul pixel-chunk height: bounds the (MC, br*bc) bf16 one-hot
 # in VMEM (256 x 2048 = 1 MB at the default window).
 MC = 256
@@ -75,10 +79,23 @@ def _window_kernel(sub_rows: int, br: int, bc: int, mc: int,
     the row-gather path) so FMA-contraction differences between Mosaic and
     XLA cannot introduce ulp drift — every op in here is exact integer
     movement. `origins_ref` is the scalar-prefetch (t, 2) window-corner
-    table (small SMEM blocks don't lower as regular inputs on TPU)."""
+    table (small SMEM blocks don't lower as regular inputs on TPU).
+
+    The gather is SEPARABLE: quad[l] = sum_{y,x} payload[y,x] *
+    rowOH[y,l] * colOH[x,l]. Per lane row, one (12*br, bc) x (bc, 128)
+    matmul contracts the window columns at full MXU K=bc, then a
+    (br, 128) one-hot multiply-reduce picks the window row. This avoids
+    the flattened (P, br*bc) one-hot entirely — Mosaic cannot relayout
+    an (sub_rows, 128) -> (P, 1) shape cast, and the flat form's K=2048
+    one-hot was 16x more VPU work to build anyway. All values stay exact:
+    u8 texels are exact in bf16, every f32 accumulation has at most one
+    nonzero addend."""
     i = pl.program_id(0)
-    oy = origins_ref[i, 0]
-    ox = origins_ref[i, 1]
+    # origins arrive in (8, 128)-tile units and are scaled here so Mosaic
+    # can PROVE the DMA slice starts on the HBM tile grid (a raw SMEM
+    # scalar has no divisibility info and fails to lower).
+    oy = origins_ref[i, 0] * 8
+    ox = origins_ref[i, 1] * 128
     copies = []
     for j, (src, dst) in enumerate(((qr_hbm, wr), (qg_hbm, wg),
                                     (qb_hbm, wb))):
@@ -97,45 +114,49 @@ def _window_kernel(sub_rows: int, br: int, bc: int, mc: int,
         jnp.logical_and(yl >= 0, yl < br),
         jnp.logical_and(xl >= 0, xl < bc),
     )
-    kq = jnp.where(valid, yl * bc + xl, -1)
-    n_px = sub_rows * 128
-    kcol = kq.reshape(n_px, 1)
+    wy = jnp.where(valid, yl, -1)
+    wx = jnp.where(valid, xl, -1)
 
     for cp in copies:
         cp.wait()
 
-    # (K, 12) bf16 payload: channel-major corner bytes of each window quad.
-    # u8 values are exact in bf16; the one-hot product is exact in f32.
+    # (12*br, bc) bf16 payload: channel-major corner-byte planes stacked
+    # along sublanes. Mosaic has no u32->bf16 convert: reinterpret as i32
+    # (bit-preserving same-width convert) and mask AFTER the shifts.
     parts = []
     for w in (wr, wg, wb):
-        q = w[...]
-        parts.append((q & jnp.uint32(0xFF)).astype(jnp.bfloat16))
-        parts.append(((q >> 8) & jnp.uint32(0xFF)).astype(jnp.bfloat16))
-        parts.append(((q >> 16) & jnp.uint32(0xFF)).astype(jnp.bfloat16))
-        parts.append((q >> 24).astype(jnp.bfloat16))
-    payload = jnp.stack(parts, axis=-1).reshape(br * bc, 12)
+        q = w[...].astype(jnp.int32)
+        parts.append((q & 0xFF).astype(jnp.bfloat16))
+        parts.append(((q >> 8) & 0xFF).astype(jnp.bfloat16))
+        parts.append(((q >> 16) & 0xFF).astype(jnp.bfloat16))
+        parts.append(((q >> 24) & 0xFF).astype(jnp.bfloat16))
+    payload = jnp.concatenate(parts, axis=0)
 
-    outs = []
-    k = br * bc
-    for c0 in range(0, n_px, mc):
-        rows = min(mc, n_px - c0)
-        oh = (
-            kcol[c0:c0 + rows]
-            == jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
-        ).astype(jnp.bfloat16)
-        outs.append(jax.lax.dot_general(
-            oh, payload, (((1,), (0,)), ((), ())),
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (bc, 128), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)
+    for r in range(sub_rows):
+        col_oh = (iota_c == wx[r:r + 1, :]).astype(jnp.bfloat16)
+        t1 = jax.lax.dot_general(
+            payload, col_oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-
-    for ch, ref in enumerate((r_ref, g_ref, b_ref)):
-        # matmul results are exact u8 integers in f32; repack the quad
-        c00 = out[:, 4 * ch + 0].reshape(sub_rows, 128).astype(jnp.uint32)
-        c10 = out[:, 4 * ch + 1].reshape(sub_rows, 128).astype(jnp.uint32)
-        c01 = out[:, 4 * ch + 2].reshape(sub_rows, 128).astype(jnp.uint32)
-        c11 = out[:, 4 * ch + 3].reshape(sub_rows, 128).astype(jnp.uint32)
-        ref[...] = c00 | (c10 << 8) | (c01 << 16) | (c11 << 24)
+        )  # (12*br, 128), exact u8 integers in f32
+        row_oh = (iota_r == wy[r:r + 1, :]).astype(jnp.float32)
+        vals = [
+            jnp.sum(t1[p * br:(p + 1) * br, :] * row_oh,
+                    axis=0, keepdims=True)
+            for p in range(12)
+        ]
+        for ch, ref in enumerate((r_ref, g_ref, b_ref)):
+            # repack the quad in i32 (f32->u32 doesn't lower in Mosaic);
+            # the top byte lands in the sign bits, which the i32->u32
+            # same-width convert keeps.
+            c00 = vals[4 * ch + 0].astype(jnp.int32)
+            c10 = vals[4 * ch + 1].astype(jnp.int32)
+            c01 = vals[4 * ch + 2].astype(jnp.int32)
+            c11 = vals[4 * ch + 3].astype(jnp.int32)
+            ref[r:r + 1, :] = (
+                c00 | (c10 << 8) | (c01 << 16) | (c11 << 24)
+            ).astype(jnp.uint32)
 
 
 @functools.partial(
@@ -208,7 +229,7 @@ def sky_window_gather(
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
-    return pl.pallas_call(
+    fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[ushape] * 3,
@@ -217,7 +238,13 @@ def sky_window_gather(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(origins.astype(jnp.int32), yl, xl, sky.qr, sky.qg, sky.qb)
+    )
+    # kernel-side origins travel in (8, 128)-tile units (Mosaic must prove
+    # DMA-slice alignment); callers pass pre-aligned texel origins
+    origins_t = jnp.stack(
+        [origins[:, 0] // 8, origins[:, 1] // 128], axis=1
+    ).astype(jnp.int32)
+    return fn(origins_t, yl, xl, sky.qr, sky.qg, sky.qb)
 
 
 def _window_bounds(idx, masked, w, hq, sub_rows, br, bc):
@@ -240,12 +267,19 @@ def _window_bounds(idx, masked, w, hq, sub_rows, br, bc):
     xmin = jnp.min(jnp.where(cap, big, x), axis=1)
     xmax = jnp.max(jnp.where(cap, -big, x), axis=1)
     all_cap = ymin > ymax
+    # Window origins align DOWN to the (8, 128) i32 HBM tile grid — Mosaic
+    # DMA slices must start on tile boundaries — and the max origin is the
+    # aligned clip, so the bottom/right poles cost a few fallback rows.
+    oy = jnp.minimum((jnp.where(all_cap, 0, ymin) // 8) * 8,
+                     ((hq - br) // 8) * 8)
+    ox = jnp.minimum((jnp.where(all_cap, 0, xmin) // 128) * 128,
+                     ((w - bc) // 128) * 128)
+    oy = jnp.maximum(oy, 0)
+    ox = jnp.maximum(ox, 0)
     coh = jnp.logical_or(
         all_cap,
-        jnp.logical_and(ymax - ymin < br, xmax - xmin < bc),
+        jnp.logical_and(ymax < oy + br, xmax < ox + bc),
     )
-    oy = jnp.clip(jnp.where(all_cap, 0, ymin), 0, hq - br)
-    ox = jnp.clip(jnp.where(all_cap, 0, xmin), 0, w - bc)
     return jnp.stack([oy, ox], axis=1).astype(jnp.int32), coh
 
 

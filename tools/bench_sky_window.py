@@ -111,8 +111,10 @@ def bench_onehot_kernel(sky, idx, fx, fy, sub_rows, br, bc):
     idxn = np.asarray(idx).reshape(t, sub_rows * 128)
     y = idxn // 4096
     x = idxn % 4096
-    oy = np.clip(y.min(1), 0, 2049 - br)
-    ox = np.clip(x.min(1), 0, 4096 - bc)
+    # origins align down to the (8, 128) HBM tile grid (Mosaic DMA slice
+    # constraint — see ops/pallas_sky._window_bounds)
+    oy = np.minimum((y.min(1) // 8) * 8, ((2049 - br) // 8) * 8)
+    ox = np.minimum((x.min(1) // 128) * 128, ((4096 - bc) // 128) * 128)
     origins = jnp.asarray(
         np.stack([oy, ox], axis=1).astype(np.int32))
 
