@@ -68,6 +68,11 @@ def parity_gate(loop: str) -> dict:
     for name, scene_kw, effects_on, (w, h), case_pose, t, steps in cases:
         golden_path = GOLDEN_DIR / f"{name}.npy"
         if not golden_path.exists():
+            # an EXPECTED golden that is absent is a gate failure, not a
+            # silent skip — a partially-missing golden set must never
+            # report "pass" (VERDICT r4 weak #4)
+            out["cases"][name] = "missing"
+            out["pass"] = False
             continue
         cam = camera_state_from_pose(*case_pose)
         scene = SceneConfig(max_steps=steps, **scene_kw)
@@ -103,14 +108,14 @@ def march_mfu(scene, camera, effects, frames: int = 5) -> dict:
     )
 
     docs = pathlib.Path(__file__).resolve().parent / "docs"
-    roofline, fire = {}, {}
-    if (docs / "roofline.json").exists():
-        roofline = json.loads((docs / "roofline.json").read_text())
-    if (docs / "media_fire.json").exists():
-        fire = json.loads((docs / "media_fire.json").read_text())
+    # both constants come from committed measurements; a missing or
+    # incomplete JSON fails the probe (caught by the caller and reported)
+    # rather than silently quoting a stale literal (VERDICT r4 weak #8)
+    roofline = json.loads((docs / "roofline.json").read_text())
+    fire = json.loads((docs / "media_fire.json").read_text())
     # mandated lane-steps at the shipped A_BLOCK_H=16 block shape
-    lane_steps = fire.get("march_lane_steps", {}).get("16x128", 2172405760)
-    floor_ms = roofline.get("vacuum_issue_floor_ms", [136.5, 162.8])[0]
+    lane_steps = fire["march_lane_steps"]["16x128"]
+    floor_ms = roofline["vacuum_issue_floor_ms"][0]
 
     def a_pass(t):
         outs = march_pallas_camera_sky_record(

@@ -9,6 +9,14 @@ RRT_EXAMPLE_SMOKE=1 shrinks the job so CI can execute this script.
 
 import os
 
+# Smoke tier (CI) must run on the CPU backend: a preinstalled TPU plugin
+# can override the JAX_PLATFORMS env var (tests/conftest.py documents
+# this), so the config flag is set here before any JAX use.
+if os.environ.get("RRT_EXAMPLE_SMOKE") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 
 from relativisticraytracer_tpu import RenderSettings, SceneConfig

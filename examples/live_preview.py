@@ -10,6 +10,14 @@ preview path end-to-end."""
 
 import os
 
+# Smoke tier (CI) must run on the CPU backend: a preinstalled TPU plugin
+# can override the JAX_PLATFORMS env var (tests/conftest.py documents
+# this), so the config flag is set here before any JAX use.
+if os.environ.get("RRT_EXAMPLE_SMOKE") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from relativisticraytracer_tpu import RenderSettings, SceneConfig
 from relativisticraytracer_tpu.io.image import load_skybox
 from relativisticraytracer_tpu.render.pipeline import Renderer

@@ -15,8 +15,10 @@ This module exploits that coherence (VERDICT r3 #1):
   * For each sub-tile of `sub_rows` lane rows (sub_rows x 128 pixels), XLA
     computes the bounding box of its quad indices (captured rays excluded —
     their background is masked by T=0). A sub-tile whose box fits a
-    (br, bc) window is COHERENT — measured >=97% of sub-tiles at the
-    headline pose (docs/sky_window.json).
+    (br, bc) window is COHERENT — the round-4 census measured 76.6% of
+    sub8 tiles fitting a raw 32x256 box at the headline pose
+    (docs/sky_window.json; alignment slop lowers the effective rate —
+    the compacted fallback carries the rest).
   * A Pallas kernel DMAs each sub-tile's window from the three HBM quad
     planes into VMEM and gathers every lane's quad with an MXU one-hot
     matmul: onehot(P, K) @ window(K, 12) where K = br*bc and the 12
@@ -53,21 +55,33 @@ from relativisticraytracer_tpu.render.skybox import Skybox, quad_bilinear
 # HBM tile grid (Mosaic DMA slices must start on tile boundaries), so a
 # sub-tile fits when its bbox fits the window MINUS the alignment slop
 # (up to 7 rows / 127 cols) — hence the window is a full lane-tile wide.
-# Defaults from the round-4 census + A/B sweep (tools/bench_sky_window.py,
-# docs/sky_window.json).
+# Defaults from the round-5 on-chip sweep (tools/bench_sky_window.py,
+# docs/sky_window.json). Windows larger than the sky are clamped down to
+# the sky's aligned extent (small skies always work).
 SUB_ROWS = 8
 WIN_BR = 32
 WIN_BC = 256
-# One-hot matmul pixel-chunk height: bounds the (MC, br*bc) bf16 one-hot
-# in VMEM (256 x 2048 = 1 MB at the default window).
-MC = 256
 # Lane rows the compacted fallback gather can carry before the whole frame
-# drops to the plain row-gather (1536 rows = 9.4% of a 1080p frame; the
-# measured incoherent fraction at the headline pose is ~2-3%).
-FALLBACK_ROWS = 1536
+# drops to the plain row-gather. 4096 rows = 25% of a 1080p frame: the
+# headline pose has ~3,800 incoherent lane rows under the aligned 32x256
+# fit (docs/sky_window.json census), so the production pose stays on the
+# compact branch with headroom.
+FALLBACK_ROWS = 4096
 
 
-def _window_kernel(sub_rows: int, br: int, bc: int, mc: int,
+def _clamp_window(hq: int, w: int, br: int, bc: int):
+    """Clamp a requested (br, bc) window to the sky's (8, 128)-aligned
+    extent. Returns None if the sky is too small to window at all (narrower
+    than one 128-lane tile or shorter than one 8-row tile) — callers then
+    use the plain row-gather."""
+    br = min(br, (hq // 8) * 8)
+    bc = min(bc, (w // 128) * 128)
+    if br < 8 or bc < 128:
+        return None
+    return br, bc
+
+
+def _window_kernel(sub_rows: int, br: int, bc: int,
                    origins_ref, yl_ref, xl_ref,
                    qr_hbm, qg_hbm, qb_hbm,
                    r_ref, g_ref, b_ref,
@@ -161,7 +175,7 @@ def _window_kernel(sub_rows: int, br: int, bc: int, mc: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sub_rows", "br", "bc", "mc", "interpret"),
+    static_argnames=("sub_rows", "br", "bc", "interpret"),
 )
 def sky_window_gather(
     sky: Skybox,
@@ -170,14 +184,17 @@ def sky_window_gather(
     sub_rows: int = SUB_ROWS,
     br: int = WIN_BR,
     bc: int = WIN_BC,
-    mc: int = MC,
     interpret: bool = False,
 ):
     """Windowed quad fetch for every lane.
 
     idx: (n_rows, 128) flat-quad-index plane (one channel's coordinates
     from render.skybox.sky_coords). origins: (n_rows // sub_rows, 2) i32
-    (oy, ox) window corners, pre-clipped to [0, H+1-br] x [0, W-bc].
+    (oy, ox) window corners, clipped to [0, H+1-br] x [0, W-bc]; they are
+    floored to the (8, 128) HBM tile grid INTERNALLY (Mosaic DMA slices
+    must start on tile boundaries) — unaligned origins are valid and the
+    local coordinates follow the floored window, so results stay correct.
+    A window larger than the sky is clamped to the sky's aligned extent.
     Lanes whose quad falls outside their sub-tile's window produce 0
     (callers overwrite them via the fallback path). Returns (tr, tg, tb)
     uint32 quad planes, bitwise equal to take(plane, idx) wherever the
@@ -188,15 +205,25 @@ def sky_window_gather(
         raise ValueError(f"{n_rows} lane rows not divisible by {sub_rows}")
     t = n_rows // sub_rows
     hq, w = sky.qr.shape
-    if br > hq or bc > w:
-        raise ValueError(f"window {br}x{bc} exceeds sky {hq}x{w}")
+    clamped = _clamp_window(hq, w, br, bc)
+    if clamped is None:
+        raise ValueError(f"sky {hq}x{w} too small to window (needs >=8x128)")
+    br, bc = clamped
+
+    # kernel-side origins travel in (8, 128)-tile units (Mosaic must prove
+    # DMA-slice alignment); the floor is applied HERE so the local window
+    # coordinates below agree with the DMA'd window even for unaligned
+    # caller origins.
+    origins_t = jnp.stack(
+        [origins[:, 0] // 8, origins[:, 1] // 128], axis=1
+    ).astype(jnp.int32)
 
     # Local window coordinates (kernel-side div/mod avoided: the division
     # is done here where XLA strength-reduces it).
     y = idx // w
     x = idx - y * w
-    oy = jnp.repeat(origins[:, 0], sub_rows)[:, None]
-    ox = jnp.repeat(origins[:, 1], sub_rows)[:, None]
+    oy = jnp.repeat(origins_t[:, 0] * 8, sub_rows)[:, None]
+    ox = jnp.repeat(origins_t[:, 1] * 128, sub_rows)[:, None]
     yl = y - oy
     xl = x - ox
 
@@ -204,7 +231,7 @@ def sky_window_gather(
     tile = lambda i, s: (i, 0)  # noqa: E731
     plane_spec = pl.BlockSpec((sub_rows, 128), tile, memory_space=pltpu.VMEM)
     ushape = jax.ShapeDtypeStruct((n_rows, 128), jnp.uint32)
-    kernel = functools.partial(_window_kernel, sub_rows, br, bc, mc)
+    kernel = functools.partial(_window_kernel, sub_rows, br, bc)
     # dominated by the (P, K) one-hot dot, K = br*bc, N = 12
     cost = pl.CostEstimate(
         flops=int(t) * sub_rows * 128 * br * bc * 12 * 2,
@@ -239,11 +266,6 @@ def sky_window_gather(
         cost_estimate=cost,
         interpret=interpret,
     )
-    # kernel-side origins travel in (8, 128)-tile units (Mosaic must prove
-    # DMA-slice alignment); callers pass pre-aligned texel origins
-    origins_t = jnp.stack(
-        [origins[:, 0] // 8, origins[:, 1] // 128], axis=1
-    ).astype(jnp.int32)
     return fn(origins_t, yl, xl, sky.qr, sky.qg, sky.qb)
 
 
@@ -315,6 +337,12 @@ def sky_background_windowed(
     idx, fx, fy = coords[1]
     n_rows = idx.shape[0]
     hq, w = sky.qr.shape
+    clamped = _clamp_window(hq, w, br, bc)
+    if clamped is None or sky.q4 is None:
+        # sky too small to window, or no interleaved table (the fallback
+        # economics change) — keep the existing row-gather path
+        return gather_sky_coords(sky, coords, effects)
+    br, bc = clamped
     cap_rows = min(fallback_rows, n_rows)
 
     def full_gather(_):
@@ -363,10 +391,6 @@ def sky_background_windowed(
             (tr, tg, tb),
         )
 
-    if sky.q4 is None:
-        # no interleaved table: the fallback economics change; keep the
-        # existing per-channel path for this (memory-saver) configuration
-        return gather_sky_coords(sky, coords, effects)
     r, g, b = jax.lax.cond(
         effects.use_chromatic_aberration > 0.5, full_gather, windowed, None
     )

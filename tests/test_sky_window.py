@@ -154,6 +154,36 @@ def test_window_gather_kernel_direct(rng):
         np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
 
+def test_window_gather_unaligned_origins(rng):
+    """Origins off the (8, 128) tile grid are floored INTERNALLY; the
+    local coordinates must follow the floored window (results correct for
+    any in-window lane, not silently wrong)."""
+    sky = _sky()
+    coords = _coords_from_dirs(sky, _smooth_dirs(rng))
+    idx, fx, fy = coords[1]
+    origins, coh = _window_bounds(
+        idx, jnp.zeros((N_ROWS, 128), bool), 128, 65, 8, 16, 128)
+    assert bool(coh.all())
+    # perturb origins OFF the tile grid; flooring restores the same window
+    bumped = origins + jnp.asarray([[3, 17]], jnp.int32)
+    tr, tg, tb = sky_window_gather(
+        sky, idx, bumped, sub_rows=8, br=16, bc=128, interpret=True,
+    )
+    for plane, out in ((sky.qr, tr), (sky.qg, tg), (sky.qb, tb)):
+        want = jnp.take(plane.reshape(-1), idx)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_windowed_clamps_to_small_sky(rng):
+    """A window larger than the sky is clamped to the sky's aligned
+    extent — module defaults (32x256) on a 64x128 sky must not raise and
+    must still match the row-gather (the round-4 red-tree regression)."""
+    sky = _sky()  # 64x128: narrower than the default bc=256
+    coords = _coords_from_dirs(sky, _smooth_dirs(rng))
+    masked = jnp.zeros((N_ROWS, 128), bool)
+    _check(sky, coords, masked, effects_off(), br=32, bc=256)
+
+
 def test_full_frame_windowed_equals_rows():
     """End-to-end compact frame with sky_gather='windowed' must be BITWISE
     the production 'rows' frame (the windowed path is wired at

@@ -14,6 +14,14 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import jax  # noqa: E402
+
+# A preinstalled TPU plugin in some environments overrides the
+# JAX_PLATFORMS env var (tests/conftest.py documents this); the config
+# flag after import is authoritative. Goldens MUST come from the CPU
+# backend to stay hardware-independent.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 from relativisticraytracer_tpu.config import (  # noqa: E402
