@@ -219,13 +219,16 @@ class RenderSettings:
     # (docs/bench_replay_sorted.json).
     media_sort: bool = True
     media_capacity: int = 1 << 17
-    # Sky background fetch on the compact Pallas path: "rows" = the q4
-    # row-gather (one XLA gathered slice per lane, ~33 ms at 1080p);
-    # "windowed" = per-sub-tile sky-window DMA + MXU one-hot quad fetch
+    # Sky background fetch on the compact Pallas path: "windowed"
+    # (default) = per-sub-tile sky-window DMA + MXU one-hot quad fetch
     # with the row-gather compacted onto incoherent sub-tiles
-    # (ops/pallas_sky.py; bitwise-equal composited frames). Ignored off
-    # the compact path.
-    sky_gather: str = "rows"
+    # (ops/pallas_sky.py); "rows" = the plain q4 row-gather (one XLA
+    # gathered slice per lane). Measured on chip at 1080p
+    # (docs/sky_window.json full_frame, round 5): windowed is BITWISE the
+    # rows frame and faster at all three census poses — headline
+    # 182.9 -> 169.7 ms/frame (stage 31.0 -> 17.4 ms). Ignored off the
+    # compact path.
+    sky_gather: str = "windowed"
 
     def __post_init__(self):
         # A typo like media_pass="Compact" would otherwise silently select

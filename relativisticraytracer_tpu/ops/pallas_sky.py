@@ -15,10 +15,12 @@ This module exploits that coherence (VERDICT r3 #1):
   * For each sub-tile of `sub_rows` lane rows (sub_rows x 128 pixels), XLA
     computes the bounding box of its quad indices (captured rays excluded —
     their background is masked by T=0). A sub-tile whose box fits a
-    (br, bc) window is COHERENT — the round-4 census measured 76.6% of
-    sub8 tiles fitting a raw 32x256 box at the headline pose
-    (docs/sky_window.json; alignment slop lowers the effective rate —
-    the compacted fallback carries the rest).
+    (br, bc) window is COHERENT — the round-5 on-chip census measured,
+    AFTER the (8, 128) origin alignment the DMA requires, 90.0% of sub8
+    tiles fitting the shipped 64x256 window at the headline pose (90.5%
+    edge-on, 79.2% close-ring; docs/sky_window.json — the raw-bbox fit is
+    a few points higher, e.g. 93.7% headline). The compacted fallback
+    carries the rest.
   * A Pallas kernel DMAs each sub-tile's window from the three HBM quad
     planes into VMEM and gathers every lane's quad with an MXU one-hot
     matmul: onehot(P, K) @ window(K, 12) where K = br*bc and the 12
@@ -56,16 +58,23 @@ from relativisticraytracer_tpu.render.skybox import Skybox, quad_bilinear
 # sub-tile fits when its bbox fits the window MINUS the alignment slop
 # (up to 7 rows / 127 cols) — hence the window is a full lane-tile wide.
 # Defaults from the round-5 on-chip sweep (tools/bench_sky_window.py,
-# docs/sky_window.json). Windows larger than the sky are clamped down to
-# the sky's aligned extent (small skies always work).
+# docs/sky_window.json): at 64x256 the kernel measures 11.6 ms (vs 9.9 at
+# 32x256) but the ALIGNED fit rate at 1080p rises to 90.0% / 90.5% / 79.2%
+# (headline / edge-on / close-ring poses) from 69.3% / 78.6% / 70.3% —
+# every census pose's incoherent rows then fit FALLBACK_ROWS, and the
+# whole stage beats the row-gather at all three. Windows larger than the
+# sky are clamped down to the sky's aligned extent (small skies always
+# work).
 SUB_ROWS = 8
-WIN_BR = 32
+WIN_BR = 64
 WIN_BC = 256
 # Lane rows the compacted fallback gather can carry before the whole frame
-# drops to the plain row-gather. 4096 rows = 25% of a 1080p frame: the
-# headline pose has ~3,800 incoherent lane rows under the aligned 32x256
-# fit (docs/sky_window.json census), so the production pose stays on the
-# compact branch with headroom.
+# drops to the plain row-gather. The gather cost is STATIC (the compacted
+# buffer has this many rows no matter how few are incoherent): 4096 rows =
+# 25% of a 1080p frame ~= 7.9 ms of the 31.7 ms row-gather. The census
+# poses need ~1,640 / ~1,552 / ~3,391 incoherent rows at the aligned
+# 64x256 fit (docs/sky_window.json), so all three stay on the compact
+# branch with headroom.
 FALLBACK_ROWS = 4096
 
 

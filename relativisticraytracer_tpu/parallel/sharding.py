@@ -23,6 +23,7 @@ single-chip frame (tests/test_sharding.py).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -111,6 +112,30 @@ def reassemble_strips(
     return out
 
 
+def shard_settings(
+    settings: RenderSettings, ny: int, nx: int, interleave: bool
+) -> RenderSettings:
+    """Per-shard RenderSettings for an (ny, nx) mesh: fixed-size buffers
+    must shrink with the shard, or per-shard fixed costs eat the scaling
+    (VERDICT r4: at 4x2 the shard programs summed to ~335 ms against the
+    182 ms single-chip frame — ~54% parallel efficiency — because the
+    sorted-replay bookkeeping ran at the FULL-frame media_capacity in
+    every shard).
+
+    Interleaved shards see ~1/N of the media rows by construction, so 2/N
+    of the frame capacity is ample. Contiguous shards are unbalanced (the
+    disk concentrates media in the center rows — docs/media_fire.json),
+    so only the x-symmetric column split scales capacity. Overflow is
+    never wrong, just slower: the sorted replay falls back to the exact
+    image-layout pass under its lax.cond (ops/pallas_compact)."""
+    n_shards = ny * nx if interleave else nx
+    shard_cap = max(2 * settings.media_capacity // max(n_shards, 1),
+                    8 * 128)
+    return dataclasses.replace(
+        settings, media_capacity=min(settings.media_capacity, shard_cap)
+    )
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     shape: Optional[Tuple[int, int]] = None,
@@ -185,6 +210,7 @@ def render_frame_sharded(
         W, H = settings.width * ss, settings.height * ss
         tw, th = W // nx, H // ny
         interpret = jax.default_backend() != "tpu"
+        settings = shard_settings(settings, ny, nx, interleave)
         strips = cstrips = None
         oy_step, ox_step = th, tw
         if interleave:

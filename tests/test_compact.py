@@ -66,6 +66,7 @@ def _frames(scene, pose, time, slots, w=160, h=96, steps=160):
     return np.asarray(a), np.asarray(b)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scene_kw,pose", [
     (dict(), "high"),
     (dict(), "edge"),
@@ -83,6 +84,7 @@ def test_compact_frame_matches_inline(scene_kw, pose):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_compact_slots1_merge_is_exact():
     """slots=1 merges EVERY later crossing into the first record; the replay
     then marches the probe-false gaps, whose contributions are exactly zero
@@ -95,6 +97,7 @@ def test_compact_slots1_merge_is_exact():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_record_pass_bookkeeping_matches_scan():
     """Record-pass segment lengths and the replay (I, T) must reproduce a
     pure-XLA reference: total recorded length >= per-ray probe-true count
@@ -195,6 +198,7 @@ def test_compact_falls_back_without_media_or_sky():
     assert np.asarray(frame2).shape == (64, 96, 4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pose", ["edge"])
 def test_sorted_replay_bitwise_equals_image_layout(pose):
     # one pose: "edge" has multi-segment rays (the hard bookkeeping case)

@@ -36,6 +36,7 @@ def test_example_parses_and_imports_resolve(path):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
 def test_example_executes(path, tmp_path):
     repo_root = str(EXAMPLES_DIR.parent)

@@ -35,6 +35,7 @@ def _setup(w=64, h=48, steps=120):
     return scene, settings, sky, cam, eff
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
 def test_tiled_equals_untiled(shape):
     scene, settings, sky, cam, eff = _setup()
@@ -72,6 +73,7 @@ def test_mesh_factorization():
     assert ny * nx == m.devices.size
 
 
+@pytest.mark.slow
 def test_sharded_pallas_matches_unsharded():
     """Multi-chip + fused kernel: each device runs the Pallas march
     (interpreted on the CPU mesh) on its tile; result must equal the
@@ -107,6 +109,7 @@ def test_sharded_pallas_matches_unsharded():
         np.testing.assert_array_equal(tiled, untiled)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape,fx", [((4, 2), False), ((1, 8), True)])
 def test_sharded_compact_matches_single_chip(shape, fx):
     """The per-shard segment-replay compact path (the fast single-chip
@@ -141,6 +144,7 @@ def test_sharded_compact_matches_single_chip(shape, fx):
     np.testing.assert_array_equal(tiled, untiled)
 
 
+@pytest.mark.slow
 def test_sharded_supersample_matches_unsharded():
     scene, _, sky, cam, eff = _setup(w=64, h=48, steps=32)
     settings = RenderSettings(width=64, height=48, max_steps=32,
@@ -154,6 +158,7 @@ def test_sharded_supersample_matches_unsharded():
     np.testing.assert_array_equal(tiled, untiled)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "shape,fx,ss",
     [((4, 2), False, 1), ((2, 4), True, 1), ((8, 1), False, 1),

@@ -184,6 +184,7 @@ def test_windowed_clamps_to_small_sky(rng):
     _check(sky, coords, masked, effects_off(), br=32, bc=256)
 
 
+@pytest.mark.slow
 def test_full_frame_windowed_equals_rows():
     """End-to-end compact frame with sky_gather='windowed' must be BITWISE
     the production 'rows' frame (the windowed path is wired at

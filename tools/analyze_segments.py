@@ -200,6 +200,23 @@ def run(width, height, time_s, max_steps):
             entry["row_compact_lane_steps"][str(b)] = int(
                 tmax.sum() * b * 128
             )
+        # Row-SORTED compaction (round-5 candidate): same row-granular
+        # compaction but with the kept rows sorted by their max lane
+        # length before tiling — the per-lane argsort/permute bookkeeping
+        # (the 10.4 ms chain, docs/bench_replay_sorted.json) collapses to
+        # a row argsort + the row-gather we already pay, at the cost of
+        # tiles paying max over 128 adjacent lanes instead of 128
+        # length-sorted lanes. Compare against sorted_lane_steps.
+        entry["row_sorted_lane_steps"] = {}
+        order = np.argsort(-row_max[row_max > 0], kind="stable")
+        kept_sorted = keep[order]
+        for b in (8, 16, 32):
+            pad = (-kept_sorted.shape[0]) % b
+            kp = np.pad(kept_sorted, ((0, pad), (0, 0)))
+            tmax = kp.reshape(-1, b, 128).max(axis=(1, 2))
+            entry["row_sorted_lane_steps"][str(b)] = int(
+                tmax.sum() * b * 128
+            )
         report[f"K{K}"] = entry
 
     report["note"] = (

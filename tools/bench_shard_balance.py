@@ -35,20 +35,20 @@ POSE = ((0.0, 10.0, -60.0), 0.0, -10.0)
 TIME = 10.0
 
 
-def shard_fn(scene, settings, sky, w, h, img_w, img_h, strips=None):
+def shard_fn(scene, settings, sky, w, h, img_w, img_h, strips=None,
+             cstrips=None):
     """jitted (camera, effects, time, x0, y0) -> shard RGBA, the same
     program parallel/sharding.py runs per device (origins traced)."""
     from relativisticraytracer_tpu.ops.pallas_compact import (
         _compact_tile_rgba,
     )
 
-    kw = {"strips": strips} if strips is not None else {}
-
     @jax.jit
     def fn(camera, effects, t, x0, y0):
         return _compact_tile_rgba(
             scene, settings, camera, effects, t, sky, w, h,
-            False, origin=(x0, y0), img_w=img_w, img_h=img_h, **kw,
+            False, origin=(x0, y0), img_w=img_w, img_h=img_h,
+            strips=strips, cstrips=cstrips,
         )
 
     return fn
@@ -89,31 +89,37 @@ def main():
         th, tw = H // ny, W // nx
         rows = {}
         for mode in ("contiguous", "interleaved"):
+            strips = cstrips = None
+            sh = sw = 0
             if mode == "interleaved":
-                if ny == 1:
-                    continue  # nothing to interleave over rows
-                try:
-                    from relativisticraytracer_tpu.parallel.sharding import (
-                        strip_height,
-                    )
+                # the SAME strip policy production uses
+                # (sharding._interleave_strips_ss: rows for ny>1, columns
+                # only for nx>2)
+                from relativisticraytracer_tpu.parallel.sharding import (
+                    _interleave_strips_ss,
+                )
 
-                    sh = strip_height(H, ny)
-                except ImportError as e:
-                    print(f"  interleaved unavailable: {e!r}")
-                    continue
-                strips = (sh, ny * sh)
-            else:
-                strips = None
-            fn = shard_fn(scene, settings, sky, tw, th, W, H,
-                          strips=strips)
+                sh, sw = _interleave_strips_ss(H, W, ny, nx, 1)
+                if not sh and not sw:
+                    continue  # nothing to interleave
+                if sh:
+                    strips = (sh, ny * sh)
+                if sw:
+                    cstrips = (sw, nx * sw)
+            # measure what parallel/sharding.py actually ships per shard —
+            # including the per-shard media_capacity scaling
+            from relativisticraytracer_tpu.parallel.sharding import (
+                shard_settings,
+            )
+
+            ssh = shard_settings(settings, ny, nx, mode == "interleaved")
+            fn = shard_fn(scene, ssh, sky, tw, th, W, H,
+                          strips=strips, cstrips=cstrips)
             times = []
             for iy in range(ny):
                 for ix in range(nx):
-                    if mode == "interleaved":
-                        y0 = jnp.float32(iy * sh)
-                    else:
-                        y0 = jnp.float32(iy * th)
-                    x0 = jnp.float32(ix * tw)
+                    y0 = jnp.float32(iy * (sh if strips else th))
+                    x0 = jnp.float32(ix * (sw if cstrips else tw))
                     ms = timeit_hard(
                         lambda fn=fn, x0=x0, y0=y0: fn(cam, eff, t, x0, y0),
                         reps=reps,
@@ -126,6 +132,10 @@ def main():
                 "shard_ms": times,
                 "min": mn, "mean": round(mean, 2), "max": mx,
                 "max_over_mean": round(mx / mean, 3),
+                # sum/single-chip-frame = 1/parallel-efficiency: how much
+                # per-shard fixed cost the mesh pays (VERDICT r4 weak #2)
+                "sum": round(sum(times), 2),
+                "media_capacity": ssh.media_capacity,
             }
             print(f"{mesh_s} {mode}: min {mn} mean {mean:.1f} max {mx} "
                   f"(max/mean {mx / mean:.2f})")
