@@ -43,4 +43,7 @@ sky = skybox_from_array(
 )
 frame = render(camera, CameraEffects(), 1.0, sky)
 print(f"sharding: {frame.sharding}")
-save_png("sharded.png", np.asarray(frame))
+# reassemble undoes the strip-interleaved device layout (the measured
+# load-balance winner, on by default on the compact path) and is the
+# identity when the assignment is contiguous
+save_png("sharded.png", render.reassemble(frame))

@@ -695,6 +695,12 @@ def media_replay_sorted(
         lens_c = (total[rsrc] * rvalid[:, None].astype(jnp.float32)
                   ).reshape(m)
         order = jnp.argsort(-lens_c)
+        # Two-step gather: cheap contiguous row-gather into the compact
+        # buffer, THEN the per-lane permute within the small m-lane
+        # domain. (A round-5 attempt fused these into one per-lane gather
+        # from image layout — measured ~2.5 ms SLOWER at 1080p: the
+        # permute of a compact buffer beats the same-size gather spread
+        # over the full 2M-lane frame.)
         flat = comp.reshape(m, 7 * slots)[order]
         crecords = tuple(
             tuple(flat[:, 7 * s + j].reshape(cap_rows, 128)
@@ -708,6 +714,11 @@ def media_replay_sorted(
         res = jnp.stack(
             [inten_c.x, inten_c.y, inten_c.z, trans_c], axis=-1
         ).reshape(m, 4)
+        # Results go back via inverse-permutation GATHER + a row-granular
+        # scatter. (A round-5 attempt replaced these with one per-lane
+        # scatter to image positions — measured 6.5 ms SLOWER at 1080p:
+        # XLA serializes large scatters where the same-size gather streams,
+        # so keep scatters at row granularity.)
         inv = jnp.zeros((m,), jnp.int32).at[order].set(
             jnp.arange(m, dtype=jnp.int32), unique_indices=True)
         back = res[inv].reshape(cap_rows, 128, 4)

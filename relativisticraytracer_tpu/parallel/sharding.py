@@ -16,9 +16,17 @@ On the fast path (loop="pallas", media_pass="compact", sky + media on) each
 shard runs the FULL single-chip compact renderer — in-kernel ray gen from
 the camera scalars plus the shard's global pixel offset, segment
 record/replay media compaction, sorted replay, per-shard sky gather and
-epilogue — so N chips pay 1/N of the measured single-chip headline frame
-time. The shard output is bitwise the corresponding crop of the
+epilogue. The shard output is bitwise the corresponding crop of the
 single-chip frame (tests/test_sharding.py).
+
+Scaling is NOT 1/N: the frame time is the max over shards, and per-shard
+fixed costs (static sort/fallback buffer sizes, kernel prologues) do not
+shrink N-fold. Measured sequentially on one chip at the 1080p headline
+pose (docs/shard_balance.json, round 5, windowed sky + per-shard capacity
+scaling): a 4x2 mesh's shards run 34.7-37.2 ms strip-interleaved
+(max/mean 1.04; contiguous rectangles 35.7-49.2, max/mean 1.19) against
+the 170.7 ms single-chip frame — i.e. 8 chips ~= 37 ms/frame, a 4.6x
+speedup at 57% parallel efficiency.
 """
 
 from __future__ import annotations
@@ -136,6 +144,25 @@ def shard_settings(
     )
 
 
+def resolve_interleave(
+    scene: SceneConfig, settings: RenderSettings, interleave
+) -> bool:
+    """Resolve the `interleave` knob. "auto" (the make_sharded_renderer
+    default since round 5) = strip-interleave whenever the compact fast
+    path applies: measured on chip at the 1080p headline pose, a 4x2 mesh's
+    slowest shard drops 49.2 -> 37.2 ms (max/mean 1.19 -> 1.04) with the
+    per-shard capacity scaling, winning on BOTH max and mean
+    (docs/shard_balance.json). Interleaving requires the compact Pallas
+    path; "auto" also needs a skybox at call time (render_frame_sharded
+    raises otherwise — a silent contiguous fallback would desync the
+    caller's reassemble)."""
+    if interleave == "auto":
+        return (settings.resolved_loop() == "pallas"
+                and settings.media_pass == "compact"
+                and (scene.enable_disk or scene.enable_clouds))
+    return bool(interleave)
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     shape: Optional[Tuple[int, int]] = None,
@@ -181,6 +208,7 @@ def render_frame_sharded(
             f"image {settings.height}x{settings.width} not divisible by mesh {ny}x{nx}"
         )
     ss = settings.supersample
+    interleave = resolve_interleave(scene, settings, interleave)
 
     loop = settings.resolved_loop()
 
@@ -333,12 +361,18 @@ def make_sharded_renderer(
     scene: SceneConfig,
     settings: RenderSettings,
     mesh: Mesh,
-    interleave: bool = False,
+    interleave="auto",
 ):
     """jit-compiled sharded frame function (camera, effects, time, sky) ->
-    uint8[H, W, 4]. With `interleave=True` the result is in device-strip
-    layout; the returned function carries a `.reassemble(frame)` host
-    helper (numpy) restoring image order."""
+    uint8[H, W, 4]. `interleave`: "auto" (default) strip-interleaves the
+    shard assignment whenever the compact fast path applies — the measured
+    load-balance win (see resolve_interleave); True/False force it. When
+    interleaved the result is in device-strip layout; ALWAYS pass frames
+    through the returned function's `.reassemble(frame)` host helper
+    (numpy), which restores image order and is the identity when
+    contiguous."""
+    interleave = resolve_interleave(scene, settings, interleave)
+
     def fn(camera, effects, time, sky):
         return render_frame_sharded(scene, settings, mesh, camera, effects,
                                     time, sky, interleave=interleave)

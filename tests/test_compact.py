@@ -180,6 +180,7 @@ def test_record_pass_bookkeeping_matches_scan():
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=5e-7)
 
 
+@pytest.mark.slow
 def test_compact_falls_back_without_media_or_sky():
     scene = SceneConfig(max_steps=64, enable_disk=False, enable_clouds=False)
     settings = RenderSettings(width=96, height=64, max_steps=64,

@@ -48,6 +48,7 @@ def test_march_invariants_random_cameras(seed):
     assert np.all(trans[hit] == 0.0)
 
 
+@pytest.mark.slow
 def test_transmittance_monotone_in_steps():
     """More steps can only absorb more: T(600 steps) <= T(200 steps)
     elementwise (media only absorbs; vacuum leaves T untouched)."""

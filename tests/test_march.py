@@ -144,6 +144,7 @@ def _random_cases(rng, n, aim_radius=14.0, r_min=20.0, r_max=80.0):
 @pytest.mark.parametrize("spin_a,media", [
     (0.0, False), (0.0, True), (0.9, False), (0.9, True),
 ])
+@pytest.mark.slow
 def test_march_fuzz_full_step_budget(rng, spin_a, media):
     """VERDICT r1 #8: ray-level march parity fuzz at the FULL reference
     step budget (2000, config.h:48) across random poses x times x spin x
@@ -177,6 +178,7 @@ def test_march_fuzz_full_step_budget(rng, spin_a, media):
         np.testing.assert_allclose(got_i, winten, rtol=3e-2, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_march_step_media_cond_scalar_state():
     """march_step(media_cond=True) must accept 0-d (single-ray) states:
     the slice-wise media-cond path indexes arrays only when they have a

@@ -36,6 +36,7 @@ def _rays(w=192, h=64, pose=((0.0, 5.0, -38.0), 0.0, -6.0)):
     dict(),
     dict(spin_a=0.9),
 ])
+@pytest.mark.slow
 def test_pallas_march_matches_xla(scene_kw):
     scene = SceneConfig(max_steps=96, **scene_kw)
     origin, direction = _rays()
@@ -58,6 +59,7 @@ def test_pallas_march_matches_xla(scene_kw):
         )
 
 
+@pytest.mark.slow
 def test_group_rows_media_conds_are_exact():
     # media_group_rows refines the media-skip lax.cond to row slices; a
     # slice skips only when every lane's probe is False, so the result must
@@ -80,6 +82,7 @@ def test_group_rows_media_conds_are_exact():
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_pallas_handles_nondivisible_image():
     # 70x100 image padded up to block multiples then cropped.
     scene = SceneConfig(max_steps=32, enable_clouds=False)
@@ -108,6 +111,7 @@ def test_lane_tile_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
 
 
+@pytest.mark.slow
 def test_camera_kernel_matches_plane_kernel():
     """In-kernel ray generation == generate_rays + plane kernel."""
     from relativisticraytracer_tpu.ops.pallas_march import march_pallas_camera
@@ -153,6 +157,7 @@ def _fused_setup(w=96, h=64, steps=48, **scene_kw):
     return scene, settings, sky, cam
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ca_on", [False, True])
 def test_fused_sky_frame_matches_xla(ca_on):
     """render_frame_pallas (fused sky addressing in-kernel, q4 row-gather /
@@ -171,6 +176,7 @@ def test_fused_sky_frame_matches_xla(ca_on):
     assert (diff > 0).mean() < 0.02
 
 
+@pytest.mark.slow
 def test_fused_sky_frame_nondivisible_and_kerr():
     """Block-padded odd frame + spin term through the fused path."""
     from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
@@ -187,6 +193,7 @@ def test_fused_sky_frame_nondivisible_and_kerr():
     assert diff.max() <= 1
 
 
+@pytest.mark.slow
 def test_fused_supersample_matches_xla():
     from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
     from relativisticraytracer_tpu.render.pipeline import render_frame
@@ -203,6 +210,7 @@ def test_fused_supersample_matches_xla():
     assert diff.max() <= 1
 
 
+@pytest.mark.slow
 def test_fused_nosky_matches_xla():
     from relativisticraytracer_tpu.ops.pallas_march import render_frame_pallas
     from relativisticraytracer_tpu.render.pipeline import render_frame
@@ -234,6 +242,7 @@ def test_pack_word_matches_pack_rgba8():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_fused_path_traces_under_outer_jit():
     """The CLI/Renderer path wraps render_frame_pallas in an OUTER jit —
     everything inside (incl. pad widths derived from block-padded dims)
@@ -251,6 +260,7 @@ def test_fused_path_traces_under_outer_jit():
     assert out.shape == (32, 64, 4) and out.dtype == jnp.uint8
 
 
+@pytest.mark.slow
 def test_fused_sky_without_fast_table():
     """q4=None (fast_table=False) must fall back to per-channel gathers and
     still match the XLA path."""

@@ -90,6 +90,7 @@ def sky_small():
     return procedural_starfield(64, 128)
 
 
+@pytest.mark.slow
 def test_full_frame_matches_oracle_vacuum(sky_small):
     """BASELINE config 1 shape: Schwarzschild, skybox only, no media, no FX."""
     w, h, steps = 16, 12, 400
@@ -111,6 +112,7 @@ def test_full_frame_matches_oracle_vacuum(sky_small):
     assert np.max(np.abs(diff)) <= 2
 
 
+@pytest.mark.slow
 def test_full_frame_matches_oracle_full_scene(sky_small):
     """Full scene: disk + clouds + skybox + bloom/vignette/distortion."""
     w, h, steps = 12, 9, 500
@@ -176,6 +178,7 @@ def test_golden_images(sky_small, name, scene_kw, effects_on):
     assert rmse < 1e-3, f"golden {name}: RMSE {rmse}"
 
 
+@pytest.mark.slow
 def test_supersampling(sky_small):
     """SSAA: 2x renders and box-filters; s=1 is bitwise the default path."""
     scene = SceneConfig(max_steps=40)
@@ -251,6 +254,7 @@ def test_full_frame_matches_oracle_second_full_scene_pose(sky_small):
     assert rmse < 2e-3, f"RMSE {rmse}"
 
 
+@pytest.mark.slow
 def test_explicit_pallas_loop_interprets_off_tpu(sky_small):
     """loop='pallas' on a non-TPU backend must run (interpreter mode), not
     die at Mosaic lowering — and must match the while-loop path."""

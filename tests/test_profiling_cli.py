@@ -116,6 +116,7 @@ def test_cli_preset_resolution(tmp_path):
     assert img.shape == (12, 480, 4)
 
 
+@pytest.mark.slow
 def test_cli_anim_frame_parallel_devices(tmp_path, monkeypatch):
     """anim --devices all round-robins frames across the virtual CPU mesh
     and produces the identical byte stream to a single-device run."""

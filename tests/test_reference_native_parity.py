@@ -338,6 +338,7 @@ def test_full_frame_no_effects_black_bg_matches_compiled_reference(ref):
     _gate(got, want)
 
 
+@pytest.mark.slow
 def test_full_frame_larger_offaxis_matches_compiled_reference(ref, sky):
     """A 192x108 frame (3.4x the pixel count of the other cases) from an
     off-axis pose below the disk plane — scale-up insurance that the

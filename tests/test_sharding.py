@@ -47,6 +47,7 @@ def test_tiled_equals_untiled(shape):
     np.testing.assert_array_equal(tiled, untiled)
 
 
+@pytest.mark.slow
 def test_jitted_sharded_renderer():
     scene, settings, sky, cam, eff = _setup()
     mesh = make_mesh(shape=(4, 2))
@@ -199,7 +200,12 @@ def test_interleaved_compact_matches_single_chip(shape, fx, ss):
     np.testing.assert_array_equal(tiled, untiled)
 
 
-def test_interleaved_renderer_reassemble_helper():
+@pytest.mark.slow
+@pytest.mark.parametrize("interleave", [True, "auto"])
+def test_interleaved_renderer_reassemble_helper(interleave):
+    """interleave=True and the default "auto" (which must resolve to the
+    interleaved assignment on the compact path) both reassemble to the
+    single-chip frame bitwise."""
     scene = SceneConfig(max_steps=32)
     settings = RenderSettings(width=128, height=64, max_steps=32,
                               loop="pallas")
@@ -210,12 +216,32 @@ def test_interleaved_renderer_reassemble_helper():
     from relativisticraytracer_tpu.ops.pallas_compact import (
         render_frame_pallas_compact,
     )
+    from relativisticraytracer_tpu.parallel.sharding import (
+        resolve_interleave,
+    )
 
-    fn = make_sharded_renderer(scene, settings, mesh, interleave=True)
+    assert resolve_interleave(scene, settings, "auto") is True
+    fn = make_sharded_renderer(scene, settings, mesh, interleave=interleave)
     out = fn.reassemble(fn(cam, eff, 1.0, sky))
     untiled = np.asarray(render_frame_pallas_compact(
         scene, settings, cam, eff, 1.0, sky, interpret=True))
     np.testing.assert_array_equal(out, untiled)
+
+
+def test_auto_interleave_resolves_false_off_compact_path():
+    """"auto" must pick the contiguous assignment (and an identity
+    reassemble) when the compact fast path does not apply."""
+    from relativisticraytracer_tpu.parallel.sharding import (
+        resolve_interleave,
+    )
+
+    scene, settings, sky, cam, eff = _setup()  # loop="while"
+    assert resolve_interleave(scene, settings, "auto") is False
+    vacuum = SceneConfig(max_steps=32, enable_disk=False,
+                         enable_clouds=False)
+    pallas = RenderSettings(width=128, height=64, max_steps=32,
+                            loop="pallas")
+    assert resolve_interleave(vacuum, pallas, "auto") is False
 
 
 def test_interleave_requires_compact_path():

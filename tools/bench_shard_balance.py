@@ -22,6 +22,7 @@ import argparse
 import json
 import pathlib
 import sys
+import time as _time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -116,16 +117,35 @@ def main():
             fn = shard_fn(scene, ssh, sky, tw, th, W, H,
                           strips=strips, cstrips=cstrips)
             times = []
+            failed = False
             for iy in range(ny):
                 for ix in range(nx):
                     y0 = jnp.float32(iy * (sh if strips else th))
                     x0 = jnp.float32(ix * (sw if cstrips else tw))
-                    ms = timeit_hard(
-                        lambda fn=fn, x0=x0, y0=y0: fn(cam, eff, t, x0, y0),
-                        reps=reps,
-                    )
+                    # the remote-compile tunnel drops connections under
+                    # load; retry a few times before abandoning the mode
+                    for attempt in range(4):
+                        try:
+                            ms = timeit_hard(
+                                lambda fn=fn, x0=x0, y0=y0: fn(
+                                    cam, eff, t, x0, y0),
+                                reps=reps,
+                            )
+                            break
+                        except Exception as e:
+                            print(f"{mesh_s} {mode} ({iy},{ix}) attempt "
+                                  f"{attempt}: {e!r}")
+                            _time.sleep(20)
+                    else:
+                        failed = True
+                        break
                     times.append(round(ms, 2))
                     print(f"{mesh_s} {mode} shard ({iy},{ix}): {ms:.1f} ms")
+                if failed:
+                    break
+            if failed or not times:
+                print(f"{mesh_s} {mode}: ABANDONED (tunnel)")
+                continue
             mx, mn = max(times), min(times)
             mean = sum(times) / len(times)
             rows[mode] = {
@@ -140,6 +160,9 @@ def main():
             print(f"{mesh_s} {mode}: min {mn} mean {mean:.1f} max {mx} "
                   f"(max/mean {mx / mean:.2f})")
         out["meshes"][mesh_s] = rows
+        path = pathlib.Path(__file__).resolve().parents[1] / "docs" / \
+            "shard_balance.json"
+        path.write_text(json.dumps(out, indent=2))
 
     path = pathlib.Path(__file__).resolve().parents[1] / "docs" / \
         "shard_balance.json"
